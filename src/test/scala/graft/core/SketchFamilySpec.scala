@@ -1,0 +1,212 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-bound + merge-monoid property tests for the generalized sketch
+  * family (BASELINE.json north_rule): HLL within ~1.04/sqrt(m), count-min
+  * one-sided and within epsilon*N, KLL / t-digest within published rank
+  * error; every sketch's insert-then-merge must equal (or bound-match)
+  * a single-sketch build — the distributed analogue of the reference's
+  * concurrent-insert ≡ serial test (tests/Main.hs:142-159).
+  */
+class SketchFamilySpec extends AnyFunSuite {
+
+  val k0 = 0x5eedf00ddeadbeefL
+  val k1 = 0x0123456789abcdefL
+
+  // ----------------------------------------------------------------- HLL
+
+  test("HLL: estimate within 4 sigma across cardinalities") {
+    val p = 12
+    for (n <- Seq(100, 1000, 10000, 100000)) {
+      val regs = Hll.empty(p)
+      (1 to n).foreach(i => Hll.addHash(regs, p, SipHash.hashInt(k0, k1, i)))
+      val est = Hll.estimate(regs)
+      val sigma = Hll.stdError(p) * n
+      assert(math.abs(est - n) <= 4 * sigma + 2,
+        s"HLL(p=$p) n=$n est=$est outside 4 sigma ($sigma)")
+    }
+  }
+
+  test("HLL: duplicates do not change the estimate (idempotent adds)") {
+    val p = 10
+    val once = Hll.empty(p)
+    (1 to 5000).foreach(i => Hll.addHash(once, p, SipHash.hashInt(k0, k1, i)))
+    val thrice = Hll.empty(p)
+    for (_ <- 1 to 3; i <- 1 to 5000) Hll.addHash(thrice, p, SipHash.hashInt(k0, k1, i))
+    assert(once.sameElements(thrice))
+  }
+
+  test("HLL: split-then-merge is register-identical to single build") {
+    val p = 11
+    val single = Hll.empty(p)
+    (1 to 20000).foreach(i => Hll.addHash(single, p, SipHash.hashInt(k0, k1, i)))
+    val parts = (1 to 20000).grouped(3000).map { chunk =>
+      val r = Hll.empty(p)
+      chunk.foreach(i => Hll.addHash(r, p, SipHash.hashInt(k0, k1, i)))
+      r
+    }.toSeq
+    val merged = parts.reduce((a, b) => Hll.merge(a, b))
+    assert(merged.sameElements(single), "merge must be exactly the register max")
+  }
+
+  test("HLL: merge is commutative and associative (register-exact)") {
+    val p = 8
+    def sk(lo: Int, hi: Int) = {
+      val r = Hll.empty(p)
+      (lo to hi).foreach(i => Hll.addHash(r, p, SipHash.hashInt(k0, k1, i)))
+      r
+    }
+    val (a, b, c) = (sk(1, 400), sk(300, 900), sk(850, 2000))
+    val abc1 = Hll.merge(Hll.merge(sk(1, 400), b.clone()), c.clone())
+    val abc2 = Hll.merge(a.clone(), Hll.merge(b.clone(), c.clone()))
+    val cba = Hll.merge(Hll.merge(c.clone(), b.clone()), sk(1, 400))
+    assert(abc1.sameElements(abc2))
+    assert(abc1.sameElements(cba))
+  }
+
+  test("HLL: serialization roundtrip") {
+    val p = 10
+    val regs = Hll.empty(p)
+    (1 to 777).foreach(i => Hll.addHash(regs, p, SipHash.hashInt(k0, k1, i)))
+    val bytes = Hll.toBytes(regs, p, 1L, 0L)
+    val (p2, regs2, tag) = Hll.fromBytes(bytes)
+    assert(p2 === p && tag === 1L && regs2.sameElements(regs))
+  }
+
+  // ----------------------------------------------------------- count-min
+
+  val cms = CmsConfig(k0, k1, depth = 5, log2Width = 11) // eps ~ 0.0013
+
+  test("CMS: never underestimates; overestimate bounded by eps*N (w.h.p.)") {
+    val buf = CountMin.empty(cms)
+    // zipf-ish: token t appears ceil(2000/t) times
+    val trueCount = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for (t <- 1 to 500; _ <- 1 to math.ceil(2000.0 / t).toInt) {
+      CountMin.addInt(buf, cms, t)
+      trueCount(t) += 1
+    }
+    val n = CountMin.totalCount(buf, cms)
+    assert(n === trueCount.values.sum)
+    var violations = 0
+    for (t <- 1 to 500) {
+      val est = CountMin.estimateInt(buf, cms, t)
+      assert(est >= trueCount(t), s"CMS underestimated token $t: $est < ${trueCount(t)}")
+      if (est > trueCount(t) + (cms.epsilon * n).ceil.toLong) violations += 1
+    }
+    // P[violation] <= delta = e^-5 ~ 0.0067 per query
+    assert(violations <= math.max(2, (2 * cms.delta * 500).toInt),
+      s"CMS epsilon-bound violated $violations/500 times")
+  }
+
+  test("CMS: split-then-merge is counter-identical to single build") {
+    val single = CountMin.empty(cms)
+    (1 to 30000).foreach(i => CountMin.addInt(single, cms, i % 97))
+    val parts = (1 to 30000).grouped(7000).map { chunk =>
+      val b = CountMin.empty(cms)
+      chunk.foreach(i => CountMin.addInt(b, cms, i % 97))
+      b
+    }.toSeq
+    val merged = parts.reduce((a, b) => CountMin.merge(a, b))
+    assert(merged.sameElements(single))
+  }
+
+  test("CMS: serialization roundtrip") {
+    val buf = CountMin.empty(cms)
+    (1 to 999).foreach(i => CountMin.addInt(buf, cms, i % 13))
+    val bytes = CountMin.toBytes(buf, cms, 1L)
+    val (d, lw, buf2, tag) = CountMin.fromBytes(bytes)
+    assert(d === cms.depth && lw === cms.log2Width && tag === 1L)
+    assert(buf2.sameElements(buf))
+  }
+
+  // ------------------------------------------------------------------ KLL
+
+  test("KLL: rank error within published bound on shuffled input") {
+    val k = 200
+    val n = 100000
+    val rnd = new scala.util.Random(42)
+    val data = rnd.shuffle((1 to n).toVector)
+    val sk = new KllSketch(k)
+    data.foreach(x => sk.add(x.toDouble))
+    assert(sk.n === n.toLong)
+    val eps = Kll.normalizedRankError(k) // ~ 2.446/k^0.9433 ~ 0.0164
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = sk.quantile(q)
+      val trueRank = est / n // data is 1..n so rank(x) = x/n
+      assert(math.abs(trueRank - q) <= eps * 1.5,
+        s"KLL q=$q est=$est rank=$trueRank outside eps=$eps")
+    }
+  }
+
+  test("KLL: merge of partitioned inserts matches bound too") {
+    val k = 200
+    val n = 60000
+    val rnd = new scala.util.Random(7)
+    val data = rnd.shuffle((1 to n).toVector)
+    val parts = data.grouped(9000).map { chunk =>
+      val s = new KllSketch(k)
+      chunk.foreach(x => s.add(x.toDouble))
+      s
+    }.toSeq
+    val merged = parts.reduce((a, b) => a.merge(b))
+    assert(merged.n === n.toLong)
+    val eps = Kll.normalizedRankError(k)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = merged.quantile(q)
+      assert(math.abs(est / n - q) <= eps * 2,
+        s"merged KLL q=$q est=$est outside bound")
+    }
+  }
+
+  test("KLL: serialization roundtrip preserves quantiles exactly") {
+    val sk = new KllSketch(128)
+    (1 to 5000).foreach(x => sk.add(x.toDouble))
+    val back = Kll.fromBytes(sk.toBytes)
+    assert(back.n === sk.n)
+    for (q <- Seq(0.1, 0.5, 0.9)) assert(back.quantile(q) === sk.quantile(q))
+  }
+
+  // -------------------------------------------------------------- t-digest
+
+  test("t-digest: quantile rank error small at delta=100") {
+    val n = 100000
+    val rnd = new scala.util.Random(11)
+    val d = new TDigest(100)
+    rnd.shuffle((1 to n).toVector).foreach(x => d.add(x.toDouble))
+    assert(math.abs(d.n - n) < 1e-9)
+    for (q <- Seq(0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999)) {
+      val est = d.quantile(q)
+      val rankErr = math.abs(est / n - q)
+      // k1 scale function: tighter at tails, ~O(1/delta) at the median
+      val bound = if (q <= 0.01 || q >= 0.99) 0.005 else 0.03
+      assert(rankErr <= bound, s"t-digest q=$q est=$est rankErr=$rankErr > $bound")
+    }
+    assert(d.centroidCount <= 2 * 100, "centroid count should stay O(delta)")
+  }
+
+  test("t-digest: merged partitions stay within the envelope") {
+    val n = 60000
+    val rnd = new scala.util.Random(13)
+    val parts = rnd.shuffle((1 to n).toVector).grouped(10000).map { chunk =>
+      val d = new TDigest(100)
+      chunk.foreach(x => d.add(x.toDouble))
+      d
+    }.toSeq
+    val merged = parts.reduce((a, b) => a.merge(b))
+    assert(math.abs(merged.n - n) < 1e-9)
+    for (q <- Seq(0.01, 0.5, 0.99)) {
+      val rankErr = math.abs(merged.quantile(q) / n - q)
+      val bound = if (q <= 0.01 || q >= 0.99) 0.01 else 0.04
+      assert(rankErr <= bound, s"merged t-digest q=$q rankErr=$rankErr")
+    }
+  }
+
+  test("t-digest: serialization roundtrip") {
+    val d = new TDigest(100)
+    (1 to 5000).foreach(x => d.add(x.toDouble))
+    val back = TDigest.fromBytes(d.toBytes)
+    assert(math.abs(back.n - d.n) < 1e-9)
+    for (q <- Seq(0.1, 0.5, 0.9)) assert(back.quantile(q) === d.quantile(q))
+  }
+}
