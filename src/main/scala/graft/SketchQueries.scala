@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core._
+import graft.functions.SketchFunctions
+import graft.operators.SketchAggs._
+import graft.sources.Tokens
+
+/** The driver-checkable query surface (SparkEntry.queries bodies).
+  *
+  * Design rule for oracles (FIXTURES.md §3): every query here returns values
+  * that are EXACT despite being computed through sketches —
+  *  - Bloom probed with its own inserted set returns exactly the inserted
+  *    count (no false negatives, reference `Internal.hs:456-458`);
+  *  - Bloom as a semi-join pre-filter followed by an exact join is exact
+  *    regardless of false positives (the runtime-filter pattern);
+  *  - estimate-valued sketches (HLL/CMS/KLL/t-digest) return a boolean
+  *    "estimate within the published bound" per group, which is exact and
+  *    deterministic (fixed key, fixed data).
+  */
+object SketchQueries {
+
+  // fixed SipKey for the whole query surface (any fixed key works; the
+  // reference's SipKey analogue)
+  val K0 = 0x5eedf00ddeadbeefL
+  val K1 = 0x0123456789abcdefL
+
+  val bloomCfg: BloomConfig = BloomConfig(K0, K1, k = 3, log2l = 10)
+  val hllP = 12
+  val cmsCfg: CmsConfig = CmsConfig(K0, K1, depth = 5, log2Width = 11)
+  val kllK = 200
+  val tdigestDelta = 100.0
+
+  private def tokensEnc = ExpressionEncoder[Seq[Int]]()
+  private def stringEnc = ExpressionEncoder[String]()
+  private def doubleEnc = ExpressionEncoder[Double]()
+  private def binaryEnc = ExpressionEncoder[Array[Byte]]()
+
+  private def bloomTokensUdaf = udaf(new BloomTokensAgg(bloomCfg), tokensEnc)
+  private def bloomMergeUdaf = udaf(new BloomMergeAgg(K0, K1), binaryEnc)
+  private def hllTokensUdaf = udaf(new HllTokensAgg(K0, K1, hllP), tokensEnc)
+  private def hllStringUdaf = udaf(new HllStringAgg(K0, K1, hllP), stringEnc)
+  private def cmsTokensUdaf = udaf(new CmsTokensAgg(cmsCfg), tokensEnc)
+  private def kllUdaf = udaf(new KllDoubleAgg(kllK), doubleEnc)
+  private def tdigestUdaf = udaf(new TDigestDoubleAgg(tdigestDelta), doubleEnc)
+
+  private def exploded(t: DataFrame): DataFrame =
+    t.select(col("source"), explode(col("tokens")).as("token"))
+
+  /** Per-source Bloom sketches (the flagship build). */
+  def perSourceBloom(t: DataFrame): DataFrame =
+    t.groupBy(col("source")).agg(bloomTokensUdaf(col("tokens")).as("sketch"))
+
+  // ------------------------------------------------------------ queries
+
+  /** Build per-source Bloom filters, then probe every (source, token)
+    * occurrence against its own source's sketch. No false negatives ⇒ the
+    * per-source present-count equals the exact per-source token count. */
+  def bloomProbeExact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tokens.table(spark, dir)
+    val sketches = perSourceBloom(t)
+    exploded(t)
+      .join(broadcast(sketches), "source")
+      .where(SketchFunctions.bloomMightContainInt(K0, K1)(col("sketch"), col("token")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_present"))
+      .orderBy(col("source"))
+  }
+
+  /** Runtime-filter pattern (SURVEY.md §2.2 "Joins"): Bloom built on the
+    * build side (tokens of lang='en' docs), broadcast, used to pre-filter
+    * the probe side, then an exact semi-join — exact results regardless of
+    * false positives; the Bloom only prunes the shuffle. */
+  def bloomPrefilterSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t = Tokens.table(spark, dir)
+    val enDocIds = docs.where(col("lang") === "en").select(col("doc_id").cast("string").as("doc_id"))
+    val buildSide = t.join(enDocIds, "doc_id")
+      .select(explode(col("tokens")).as("token")).distinct()
+    // build the Bloom on the build side and ship it into the probe filter
+    val sketchBytes = buildSide
+      .agg(udaf(new BloomIntAgg(bloomCfg), ExpressionEncoder[Int]())(col("token")))
+      .head().getAs[Array[Byte]](0)
+    val probe = exploded(t).distinct()
+    val prefiltered = probe.where(SketchFunctions.bloomProbeInt(K0, K1, sketchBytes)(col("token")))
+    prefiltered
+      .join(buildSide, Seq("token"), "left_semi") // exact confirmation join
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source"))
+  }
+
+  /** Merge all per-source sketches into one global filter (second-level
+    * aggregation = the reference's unionInto as a distributed fold), then
+    * probe the distinct-token universe: everything was inserted somewhere,
+    * so the present-count is exactly the distinct token count. */
+  def bloomUnionGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tokens.table(spark, dir)
+    val globalBytes = perSourceBloom(t)
+      .agg(bloomMergeUdaf(col("sketch")))
+      .head().getAs[Array[Byte]](0)
+    t.select(explode(col("tokens")).as("token")).distinct()
+      .where(SketchFunctions.bloomProbeInt(K0, K1, globalBytes)(col("token")))
+      .agg(count(lit(1)).as("n_present"))
+  }
+
+  /** HLL distinct tokens per source, asserted within 4 sigma of exact
+    * (sigma = 1.04/sqrt(m); linear-counting regime is far tighter). */
+  def hllDistinctTokensBound(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tokens.table(spark, dir)
+    val est = t.groupBy(col("source")).agg(hllTokensUdaf(col("tokens")).as("sk"))
+      .select(col("source"), SketchFunctions.hllEstimate(col("sk")).as("est"))
+    val exact = exploded(t).groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("exact"))
+    est.join(exact, "source")
+      .select(
+        col("source"),
+        (abs(col("est") - col("exact")) <=
+          greatest(col("exact") * lit(4 * Hll.stdError(hllP)), lit(3.0))).as("within_bound"))
+      .orderBy(col("source"))
+  }
+
+  /** HLL distinct doc_ids per source (string elements) within bound. */
+  def hllDistinctDocsBound(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tokens.table(spark, dir)
+    val est = t.groupBy(col("source")).agg(hllStringUdaf(col("doc_id")).as("sk"))
+      .select(col("source"), SketchFunctions.hllEstimate(col("sk")).as("est"))
+    val exact = t.groupBy(col("source")).agg(countDistinct(col("doc_id")).as("exact"))
+    est.join(exact, "source")
+      .select(
+        col("source"),
+        (abs(col("est") - col("exact")) <=
+          greatest(col("exact") * lit(4 * Hll.stdError(hllP)), lit(3.0))).as("within_bound"))
+      .orderBy(col("source"))
+  }
+
+  /** Count-min heavy hitter per source: estimate of the top token's
+    * frequency is one-sided (>= exact) and within 2*eps*N. */
+  def cmsHeavyHitterBound(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tokens.table(spark, dir)
+    val counts = exploded(t).groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("token").asc)
+    val top = counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("source"), col("token"), col("cnt"))
+    val sk = t.groupBy(col("source")).agg(cmsTokensUdaf(col("tokens")).as("sk"))
+    top.join(sk, "source")
+      .select(
+        col("source"),
+        {
+          val est = SketchFunctions.cmsEstimateInt(K0, K1)(col("sk"), col("token"))
+          val n = SketchFunctions.cmsTotalCount(K0, K1)(col("sk"))
+          (est >= col("cnt") &&
+            est <= col("cnt") + greatest(ceil(n * lit(2 * cmsCfg.epsilon)), lit(2.0))).as("within_bound")
+        })
+      .orderBy(col("source"))
+  }
+
+  /** KLL quantiles of n_tok per source: for q in {0.25, 0.5, 0.75} the
+    * estimate's true rank interval must overlap [q-eps, q+eps]
+    * (two-sided check is tie-safe: rank_lo = #{< est}/n, rank_hi = #{<= est}/n). */
+  def kllNtokQuantileBound(spark: SparkSession, dir: String): DataFrame =
+    quantileBound(spark, dir, isKll = true, eps = Kll.normalizedRankError(kllK) * 1.5)
+
+  /** Same check through the t-digest (published envelope ~O(1/delta) at the
+    * median, tighter at tails; generous mid-quantile eps). */
+  def tdigestNtokQuantileBound(spark: SparkSession, dir: String): DataFrame =
+    quantileBound(spark, dir, isKll = false, eps = 0.05)
+
+  private def quantileBound(spark: SparkSession, dir: String, isKll: Boolean, eps: Double): DataFrame = {
+    val t = Tokens.table(spark, dir)
+    val qs = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75)
+    val sk = t.groupBy(col("source"))
+      .agg((if (isKll) kllUdaf else tdigestUdaf)(col("n_tok").cast("double")).as("sk"))
+    val estCols = qs.map { case (tag, q) =>
+      (if (isKll) SketchFunctions.kllQuantile else SketchFunctions.tdigestQuantile)(
+        col("sk"), lit(q)).as(s"est_$tag")
+    }
+    val ests = sk.select(col("source") +: estCols: _*)
+    val withEst = t.join(broadcast(ests), "source")
+    val agg = withEst.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      qs.flatMap { case (tag, _) =>
+        Seq(
+          sum(when(col("n_tok") < col(s"est_$tag"), 1L).otherwise(0L)).as(s"lo_$tag"),
+          sum(when(col("n_tok") <= col(s"est_$tag"), 1L).otherwise(0L)).as(s"hi_$tag"))
+      }: _*)
+    val ok = qs.map { case (tag, q) =>
+      (col(s"lo_$tag") / col("n") <= lit(q + eps)) && (col(s"hi_$tag") / col("n") >= lit(q - eps))
+    }.reduce(_ && _)
+    agg.select(col("source"), ok.as("within_bound")).orderBy(col("source"))
+  }
+
+  /** Empirical FPR of the per-source Bloom vs the analytic bound: probe
+    * with an anti-set (token ids that never occur: negative ints) and
+    * require |measured - fpr(n,l,k,w)| within 0.005 + 3 binomial sigma
+    * (the reference's gate, tests/Main.hs:537-584). */
+  def bloomFprBound(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tokens.table(spark, dir)
+    val antiN = 10000
+    val nDistinct = exploded(t).groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("n_elems"))
+    val sketches = perSourceBloom(t).join(nDistinct, "source")
+    val fprUdf = udf { (bytes: Array[Byte], nElems: Long) =>
+      val (cfg, words, _) = BlockedBloom.fromBytes(K0, K1, bytes)
+      var fp = 0
+      var i = 1
+      while (i <= antiN) { if (BlockedBloom.containsInt(words, cfg, -i)) fp += 1; i += 1 }
+      val measured = fp.toDouble / antiN
+      val analytic = Fpr.bloom1(nElems, cfg.l.toLong, cfg.k)
+      val sigma = math.sqrt(math.max(analytic * (1 - analytic), 1e-12) / antiN)
+      math.abs(measured - analytic) <= 0.005 + 3 * sigma
+    }
+    sketches
+      .select(col("source"), fprUdf(col("sketch"), col("n_elems")).as("within_bound"))
+      .orderBy(col("source"))
+  }
+
+  /** Exact per-doc token count through the tokens table (text analysis:
+    * token counting; trivially SQL-checkable). */
+  def tokenCountExact(spark: SparkSession, dir: String): DataFrame =
+    Tokens.table(spark, dir)
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup: distinct texts per source (hash-groupBy dedup baseline). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("n_uniq"))
+      .orderBy(col("source"))
+}

@@ -1,13 +1,69 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has a `queries` entry; the
+  * exact-valued ones also have a DuckDB `oracleSql` twin (column names and
+  * row order aligned — see FIXTURES.md §3 for why sketch queries can have
+  * exact oracles at all).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    SketchQueries.bloomProbeExact(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom build + probe (insert/lookup, §2.1 rows 2-3) — exact by
+    // no-false-negatives
+    "q_bloom_probe_exact" -> (SketchQueries.bloomProbeExact _),
+    // Bloom as semi-join runtime filter (§2.2 joins) — exact by design
+    "q_bloom_prefilter_semijoin" -> (SketchQueries.bloomPrefilterSemijoin _),
+    // unionInto as second-level aggregation (§2.1 row 7)
+    "q_bloom_union_global" -> (SketchQueries.bloomUnionGlobal _),
+    // fpr() analytic bound vs measured (§2.1 row 12)
+    "q_bloom_fpr_bound" -> (SketchQueries.bloomFprBound _),
+    // sketch family (north rule): estimates within published bounds
+    "q_hll_distinct_tokens_bound" -> (SketchQueries.hllDistinctTokensBound _),
+    "q_hll_distinct_docs_bound" -> (SketchQueries.hllDistinctDocsBound _),
+    "q_cms_heavyhitter_bound" -> (SketchQueries.cmsHeavyHitterBound _),
+    "q_kll_ntok_quantile_bound" -> (SketchQueries.kllNtokQuantileBound _),
+    "q_tdigest_ntok_quantile_bound" -> (SketchQueries.tdigestNtokQuantileBound _),
+    // training-pipeline text ops (exact)
+    "q_token_count_exact" -> (SketchQueries.tokenCountExact _),
+    "q_dedup_exact" -> (SketchQueries.dedupExact _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = {
+    val words =
+      "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents"
+    val boundOracle =
+      "SELECT source, true AS within_bound FROM documents GROUP BY source ORDER BY source"
+    Map(
+      "q_bloom_probe_exact" ->
+        s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
+      "q_bloom_prefilter_semijoin" ->
+        (s"SELECT source, count(DISTINCT w) AS n_shared FROM ($words) t WHERE w <> '' AND w IN " +
+          "(SELECT unnest(string_split(text, ' ')) AS w2 FROM documents WHERE lang = 'en') " +
+          "GROUP BY source ORDER BY source"),
+      "q_bloom_union_global" ->
+        s"SELECT count(DISTINCT w) AS n_present FROM ($words) t WHERE w <> ''",
+      "q_bloom_fpr_bound" -> boundOracle,
+      "q_hll_distinct_tokens_bound" -> boundOracle,
+      "q_hll_distinct_docs_bound" -> boundOracle,
+      "q_cms_heavyhitter_bound" -> boundOracle,
+      "q_kll_ntok_quantile_bound" -> boundOracle,
+      "q_tdigest_ntok_quantile_bound" -> boundOracle,
+      "q_token_count_exact" ->
+        ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+          "CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok " +
+          "FROM documents ORDER BY doc_id"),
+      "q_dedup_exact" ->
+        "SELECT source, count(DISTINCT text) AS n_uniq FROM documents GROUP BY source ORDER BY source"
+    )
+  }
 }

@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+import graft.core._
+
+/** Scalar query surface over finished (serialized) sketches — the Spark
+  * analogue of the reference's read path `lookup` (reference
+  * `Internal.hs:464-469`) plus estimate readers for the rest of the family.
+  *
+  * Deserialized sketches are memoized per executor: when a sketch column is
+  * joined onto a probe stream (one sketch per group key, broadcast join),
+  * every row carries the same byte array, so probes after the first are a
+  * single word read — same cost shape as the reference's `lookup`.
+  */
+object SketchFunctions extends Serializable {
+
+  /** Executor-local memo for deserialized sketches. The key is a sampled
+    * hash, but a hit is only trusted after a full `Arrays.equals` against
+    * the cached bytes — the memo can never return the wrong sketch, it only
+    * saves the per-row allocation+copy of re-deserializing. For high-volume
+    * probing prefer the `*ByKey` closure-broadcast variants below, which pay
+    * deserialization once per task instead of an equality scan per row. */
+  private object Memo {
+    private final class Entry(val bytes: Array[Byte], val value: AnyRef)
+    private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Entry]()
+    private def sampleKey(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      val m = math.min(n, 64)
+      val sample = new Array[Byte](m)
+      var i = 0
+      while (i < m) { sample(i) = bytes((i.toLong * n / m).toInt); i += 1 }
+      SipHash.hash64(0x6d656d6fL, n.toLong, sample)
+    }
+    def get[T <: AnyRef](bytes: Array[Byte], load: Array[Byte] => T): T = {
+      val key = sampleKey(bytes)
+      val e = cache.get(key)
+      if (e != null && java.util.Arrays.equals(e.bytes, bytes)) return e.value.asInstanceOf[T]
+      val v = load(bytes)
+      if (cache.size() > 256) cache.clear()
+      cache.put(key, new Entry(bytes.clone(), v))
+      v
+    }
+  }
+
+  private final class LoadedBloom(val cfg: BloomConfig, val words: Array[Long])
+
+  private def loadBloom(k0: Long, k1: Long)(bytes: Array[Byte]): LoadedBloom = {
+    val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, bytes)
+    new LoadedBloom(cfg, words)
+  }
+
+  /** `bloom_might_contain(sketch, token)` for int elements. No false
+    * negatives; false positives at the configured FPR. */
+  def bloomMightContainInt(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val f = udf { (bytes: Array[Byte], x: Int) =>
+      val b = Memo.get(bytes, loadBloom(k0, k1))
+      BlockedBloom.containsInt(b.words, b.cfg, x)
+    }
+    f(sketch, elem)
+  }
+
+  def bloomMightContainLong(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val f = udf { (bytes: Array[Byte], x: Long) =>
+      val b = Memo.get(bytes, loadBloom(k0, k1))
+      BlockedBloom.containsLong(b.words, b.cfg, x)
+    }
+    f(sketch, elem)
+  }
+
+  def bloomMightContainString(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val f = udf { (bytes: Array[Byte], s: String) =>
+      val b = Memo.get(bytes, loadBloom(k0, k1))
+      s != null && BlockedBloom.containsString(b.words, b.cfg, s)
+    }
+    f(sketch, elem)
+  }
+
+  /** Count of probe tokens present in the sketch — probes a whole token
+    * array in one call (avoids an explode when only the count is needed). */
+  def bloomCountContainedTokens(k0: Long, k1: Long)(sketch: Column, tokens: Column): Column = {
+    val f = udf { (bytes: Array[Byte], toks: Seq[Int]) =>
+      val b = Memo.get(bytes, loadBloom(k0, k1))
+      if (toks == null) 0L
+      else {
+        var n = 0L
+        val it = toks.iterator
+        while (it.hasNext) if (BlockedBloom.containsInt(b.words, b.cfg, it.next())) n += 1L
+        n
+      }
+    }
+    f(sketch, tokens)
+  }
+
+  /** High-volume probe path: the finished per-group sketches (a driver-side
+    * map — sketches are constant-space summaries, so collecting them is the
+    * point of the design) are deserialized once and shipped in the UDF
+    * closure, i.e. once per task — the distributed analogue of the
+    * reference's "one word read per lookup" (`Internal.hs:464-469`). Rows
+    * whose key has no sketch probe as not-contained. */
+  def bloomProbeIntByKey(k0: Long, k1: Long, sketches: Map[String, Array[Byte]]): (Column, Column) => Column = {
+    val loaded: Map[String, (BloomConfig, Array[Long])] = sketches.map { case (key, b) =>
+      val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, b)
+      key -> ((cfg, words))
+    }
+    val f = udf { (key: String, x: Int) =>
+      loaded.get(key) match {
+        case Some((cfg, words)) => BlockedBloom.containsInt(words, cfg, x)
+        case None => false
+      }
+    }
+    (keyCol, elemCol) => f(keyCol, elemCol)
+  }
+
+  /** As [[bloomProbeIntByKey]] but a single global sketch. */
+  def bloomProbeInt(k0: Long, k1: Long, sketch: Array[Byte]): Column => Column = {
+    val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, sketch)
+    val f = udf { (x: Int) => BlockedBloom.containsInt(words, cfg, x) }
+    c => f(c)
+  }
+
+  def bloomProbeString(k0: Long, k1: Long, sketch: Array[Byte]): Column => Column = {
+    val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, sketch)
+    val f = udf { (s: String) => s != null && BlockedBloom.containsString(words, cfg, s) }
+    c => f(c)
+  }
+
+  /** `hll_estimate(sketch)` -> double. */
+  val hllEstimate: Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      val regs = Memo.get(bytes, (b: Array[Byte]) => Hll.fromBytes(b)._2)
+      Hll.estimate(regs)
+    }
+    c => f(c)
+  }
+
+  private final class LoadedCms(val cfg: CmsConfig, val buf: Array[Long])
+
+  private def loadCms(k0: Long, k1: Long)(bytes: Array[Byte]): LoadedCms = {
+    val (depth, log2Width, buf, _) = CountMin.fromBytes(bytes)
+    new LoadedCms(CmsConfig(k0, k1, depth, log2Width), buf)
+  }
+
+  /** `cms_estimate(sketch, token)` -> long (point frequency, one-sided). */
+  def cmsEstimateInt(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val f = udf { (bytes: Array[Byte], x: Int) =>
+      val c = Memo.get(bytes, loadCms(k0, k1))
+      CountMin.estimateInt(c.buf, c.cfg, x)
+    }
+    f(sketch, elem)
+  }
+
+  def cmsEstimateString(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val f = udf { (bytes: Array[Byte], s: String) =>
+      val c = Memo.get(bytes, loadCms(k0, k1))
+      CountMin.estimateString(c.buf, c.cfg, s)
+    }
+    f(sketch, elem)
+  }
+
+  /** Total inserted weight N recorded in a CMS sketch. */
+  def cmsTotalCount(k0: Long, k1: Long)(sketch: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      val c = Memo.get(bytes, loadCms(k0, k1))
+      CountMin.totalCount(c.buf, c.cfg)
+    }
+    f(sketch)
+  }
+
+  /** `kll_quantile(sketch, q)` -> double. */
+  val kllQuantile: (Column, Column) => Column = {
+    val f = udf { (bytes: Array[Byte], q: Double) =>
+      Memo.get(bytes, Kll.fromBytes).quantile(q)
+    }
+    (s, q) => f(s, q)
+  }
+
+  /** `kll_rank(sketch, x)` -> estimated count <= x. */
+  val kllRank: (Column, Column) => Column = {
+    val f = udf { (bytes: Array[Byte], x: Double) =>
+      Memo.get(bytes, Kll.fromBytes).rank(x)
+    }
+    (s, x) => f(s, x)
+  }
+
+  /** `tdigest_quantile(sketch, q)` -> double. */
+  val tdigestQuantile: (Column, Column) => Column = {
+    val f = udf { (bytes: Array[Byte], q: Double) =>
+      Memo.get(bytes, TDigest.fromBytes).quantile(q)
+    }
+    (s, q) => f(s, q)
+  }
+
+  /** `tdigest_cdf(sketch, x)` -> estimated fraction of mass <= x. */
+  val tdigestCdf: (Column, Column) => Column = {
+    val f = udf { (bytes: Array[Byte], x: Double) =>
+      Memo.get(bytes, TDigest.fromBytes).cdf(x)
+    }
+    (s, x) => f(s, x)
+  }
+}

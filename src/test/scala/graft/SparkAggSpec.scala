@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.functions.SketchFunctions
+import graft.operators.SketchAggs._
+import graft.sources.Tokens
+
+/** Distributed-equivalence properties through REAL Spark aggregation:
+  * the Catalyst partial/final split must be byte-identical to a serial
+  * build regardless of partitioning — the distributed analogue of the
+  * reference's concurrent-insert ≡ serial test (tests/Main.hs:142-159).
+  */
+class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import SketchQueries.{K0, K1}
+
+  val cfg = BloomConfig(K0, K1, 3, 12)
+
+  def tokenDf(numDocs: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until numDocs).map { i =>
+      val toks = Array.tabulate(1 + i % 40)(j => 1 + (i * 31 + j * 7) % 500)
+      (s"doc-$i", toks, toks.length, s"src${i % 3}")
+    }
+    spark.sparkContext.parallelize(rows, partitions)
+      .toDF("doc_id", "tokens", "n_tok", "source")
+  }
+
+  def serialBloom(df: DataFrame): Array[Byte] = {
+    val words = new Array[Long](cfg.l)
+    df.select("tokens").collect().foreach { r =>
+      r.getSeq[Int](0).foreach(t => BlockedBloom.insertInt(words, cfg, t))
+    }
+    BlockedBloom.toBytes(words, cfg, BlockedBloom.TypeTag.Int)
+  }
+
+  test("Bloom agg over Spark partitions is byte-identical to serial build, at any parallelism") {
+    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Seq[Int]]())
+    for (parts <- Seq(1, 3, 8)) {
+      val df = tokenDf(500, parts)
+      val distributed = df.agg(bloomUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
+      val serial = serialBloom(df)
+      assert(java.util.Arrays.equals(distributed, serial),
+        s"partial/final aggregation diverged from serial build at $parts partitions")
+    }
+  }
+
+  test("Bloom agg is repartition-invariant (merge commutativity under shuffle)") {
+    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Seq[Int]]())
+    val df = tokenDf(500, 4)
+    val a = df.agg(bloomUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
+    val b = df.repartition(7, col("doc_id")).agg(bloomUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("per-source sketches probe their own tokens with zero false negatives") {
+    val df = tokenDf(300, 4)
+    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Seq[Int]]())
+    val sketches = df.groupBy(col("source")).agg(bloomUdaf(col("tokens")).as("sketch"))
+    val missing = df.select(col("source"), explode(col("tokens")).as("token"))
+      .join(broadcast(sketches), "source")
+      .where(!SketchFunctions.bloomMightContainInt(K0, K1)(col("sketch"), col("token")))
+      .count()
+    assert(missing === 0L, "bloom reported a false negative through the Spark query path")
+  }
+
+  test("BloomMergeAgg merges per-source sketches into a global filter correctly") {
+    val df = tokenDf(300, 4)
+    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Seq[Int]]())
+    val mergeUdaf = udaf(new BloomMergeAgg(K0, K1), ExpressionEncoder[Array[Byte]]())
+    val global = df.groupBy(col("source")).agg(bloomUdaf(col("tokens")).as("sketch"))
+      .agg(mergeUdaf(col("sketch"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(global, serialBloom(df)),
+      "two-level merge must equal the single-level build")
+  }
+
+  test("HLL agg estimate within bound through Spark; merge-invariant") {
+    val hllUdaf = udaf(new HllTokensAgg(K0, K1, 12), ExpressionEncoder[Seq[Int]]())
+    val df = tokenDf(2000, 5)
+    val bytes = df.agg(hllUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
+    val est = Hll.estimate(Hll.fromBytes(bytes)._2)
+    val exact = df.select(explode(col("tokens"))).distinct().count()
+    assert(math.abs(est - exact) <= math.max(4 * Hll.stdError(12) * exact, 3.0),
+      s"HLL est $est vs exact $exact")
+    val bytes2 = df.repartition(9).agg(hllUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytes, bytes2), "HLL must be partitioning-invariant")
+  }
+
+  test("CMS agg counters partitioning-invariant and one-sided") {
+    val cms = SketchQueries.cmsCfg
+    val cmsUdaf = udaf(new CmsTokensAgg(cms), ExpressionEncoder[Seq[Int]]())
+    val df = tokenDf(1000, 4)
+    val bytes = df.agg(cmsUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
+    val bytes2 = df.repartition(11).agg(cmsUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytes, bytes2))
+    val (_, _, buf, _) = CountMin.fromBytes(bytes)
+    val exact = df.select(explode(col("tokens")).as("t")).groupBy("t").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (tok, cnt) =>
+      assert(CountMin.estimateInt(buf, cms, tok) >= cnt, s"CMS underestimated $tok")
+    }
+  }
+
+  test("KLL and t-digest aggs return quantiles within published bounds via Spark") {
+    import spark.implicits._
+    val n = 50000
+    val data = new scala.util.Random(5).shuffle((1 to n).toVector).toDF("x")
+      .select(col("x").cast("double").as("x")).repartition(6)
+    val kllUdaf = udaf(new KllDoubleAgg(200), ExpressionEncoder[Double]())
+    val kllBytes = data.agg(kllUdaf(col("x"))).head().getAs[Array[Byte]](0)
+    val kll = Kll.fromBytes(kllBytes)
+    assert(kll.n === n.toLong)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(kll.quantile(q) / n - q) <= Kll.normalizedRankError(200) * 2)
+    val tdUdaf = udaf(new TDigestDoubleAgg(100), ExpressionEncoder[Double]())
+    val tdBytes = data.agg(tdUdaf(col("x"))).head().getAs[Array[Byte]](0)
+    val td = TDigest.fromBytes(tdBytes)
+    assert(math.abs(td.n - n) < 1e-6)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(td.quantile(q) / n - q) <= 0.04)
+  }
+
+  test("tokens fixture: deterministic across builds (token-array equality invariant)") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Tokens.table(spark, dir).orderBy("doc_id").collect()
+    val b = Tokens.table(spark, dir).orderBy("doc_id").collect()
+    assert(a.length === 500)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getSeq[Int](1) === y.getSeq[Int](1), s"tokens differ for ${x.getString(0)}")
+    }
+    // schema is the input_hint shape
+    val schema = Tokens.table(spark, dir).schema
+    assert(schema.fieldNames.toSeq === Seq("doc_id", "tokens", "n_tok", "source"))
+  }
+}
