@@ -35,7 +35,7 @@ object SketchQueries {
   val kllK = 200
   val tdigestDelta = 100.0
 
-  private def tokensEnc = ExpressionEncoder[Seq[Int]]()
+  private def tokensEnc = ExpressionEncoder[Array[Int]]()
   private def stringEnc = ExpressionEncoder[String]()
   private def doubleEnc = ExpressionEncoder[Double]()
   private def binaryEnc = ExpressionEncoder[Array[Byte]]()

@@ -1,0 +1,170 @@
+package graft.jobs
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.core._
+import graft.operators.SketchAggs._
+
+/** Production-shape sketch-build job (north rule: "resumable from checkpoint
+  * with per-partition lineage + metrics, salt-based skew mitigation").
+  *
+  * The input is bucketed deterministically by `doc_id` (SipHash — stable
+  * across executors/JVMs/runs, so a bucket always contains the same docs;
+  * the sandbox stand-in for Iceberg snapshot+partition lineage). Each run:
+  *
+  *   1. reads the checkpoint dir, determines which buckets already have
+  *      committed partial sketches,
+  *   2. aggregates ONLY the missing buckets into per-(bucket, source)
+  *      partial sketch rows with lineage + metrics columns
+  *      (rows/tokens/build wall-clock/commit timestamp),
+  *   3. appends them to the checkpoint (bucket = the commit unit),
+  *   4. `finalize` merges all partials per source — pure sketch merges,
+  *      the same monoid the aggregation itself uses.
+  *
+  * Because merge is associative+commutative and buckets are disjoint,
+  * resume-then-finalize is byte-identical to a single uninterrupted build
+  * (tested in SketchJobSpec).
+  *
+  * The bucket level doubles as salt-based skew mitigation: a hot source is
+  * split across all buckets, so no single task aggregates a whole hot
+  * source — two-level aggregation (bucket,source) -> (source), the explicit
+  * form of the salting SURVEY.md §4 calls for.
+  */
+object SketchJob {
+
+  final case class JobConfig(
+      k0: Long,
+      k1: Long,
+      bloomK: Int,
+      bloomLog2l: Int,
+      hllP: Int,
+      cmsDepth: Int,
+      cmsLog2Width: Int,
+      numBuckets: Int) {
+    def bloomCfg: BloomConfig = BloomConfig(k0, k1, bloomK, bloomLog2l)
+    def cmsCfg: CmsConfig = CmsConfig(k0, k1, cmsDepth, cmsLog2Width)
+  }
+
+  val DefaultConfig: JobConfig = JobConfig(
+    k0 = graft.SketchQueries.K0, k1 = graft.SketchQueries.K1,
+    bloomK = 3, bloomLog2l = 12, hllP = 12, cmsDepth = 5, cmsLog2Width = 11,
+    numBuckets = 64)
+
+  private def bucketCol(k0: Long, k1: Long, buckets: Int) = {
+    val f = udf { (docId: String) =>
+      (((SipHash.hashString(k0, k1, if (docId == null) "" else docId) >>> 1) % buckets)).toInt
+    }
+    f(col("doc_id"))
+  }
+
+  /** Buckets already committed to the checkpoint. */
+  def committedBuckets(spark: SparkSession, ckptDir: String): Set[Int] =
+    if (!new java.io.File(ckptDir).exists()) Set.empty
+    else
+      spark.read.parquet(ckptDir).select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+
+  /** Run one (resumable) pass: aggregate partial sketches for every bucket
+    * not yet in the checkpoint. Returns the number of buckets processed. */
+  def runIncrement(spark: SparkSession, tokens: DataFrame, ckptDir: String,
+      cfg: JobConfig = DefaultConfig,
+      failAfterBuckets: Option[Int] = None): Int = {
+    val done = committedBuckets(spark, ckptDir)
+    val tokensEnc = ExpressionEncoder[Array[Int]]()
+    val bloomU = udaf(new BloomTokensAgg(cfg.bloomCfg), tokensEnc)
+    val hllU = udaf(new HllTokensAgg(cfg.k0, cfg.k1, cfg.hllP), tokensEnc)
+    val cmsU = udaf(new CmsTokensAgg(cfg.cmsCfg), tokensEnc)
+
+    val withBucket = tokens.withColumn("bucket", bucketCol(cfg.k0, cfg.k1, cfg.numBuckets))
+    val todoAll = (0 until cfg.numBuckets).filterNot(done)
+    // simulate a mid-job crash for resume tests: only commit a prefix
+    val todo = failAfterBuckets.fold(todoAll)(n => todoAll.take(n))
+    if (todo.isEmpty) return 0
+
+    val t0 = System.currentTimeMillis()
+    val partials = withBucket
+      .where(col("bucket").isin(todo: _*))
+      .groupBy(col("bucket"), col("source"))
+      .agg(
+        bloomU(col("tokens")).as("bloom"),
+        hllU(col("tokens")).as("hll"),
+        cmsU(col("tokens")).as("cms"),
+        count(lit(1)).as("n_rows"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .withColumn("committed_at_ms", lit(t0))
+      .withColumn("build_host", lit(java.net.InetAddress.getLocalHost.getHostName))
+    partials.write.mode(SaveMode.Append).parquet(ckptDir)
+    todo.size
+  }
+
+  /** Merge the checkpointed per-(bucket,source) partials into final
+    * per-source sketches (plus rolled-up lineage metrics). */
+  def finalizeSketches(spark: SparkSession, ckptDir: String,
+      cfg: JobConfig = DefaultConfig): DataFrame = {
+    val binEnc = ExpressionEncoder[Array[Byte]]()
+    val bloomMergeU = udaf(new BloomMergeAgg(cfg.k0, cfg.k1), binEnc)
+    val hllMergeU = udaf(new HllBytesMergeAgg(), binEnc)
+    val cmsMergeU = udaf(new CmsBytesMergeAgg(), binEnc)
+    spark.read.parquet(ckptDir)
+      .groupBy(col("source"))
+      .agg(
+        bloomMergeU(col("bloom")).as("bloom"),
+        hllMergeU(col("hll")).as("hll"),
+        cmsMergeU(col("cms")).as("cms"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("bucket")).as("n_buckets"))
+  }
+
+  /** Per-bucket lineage view (what resumed, when, how much). */
+  def lineage(spark: SparkSession, ckptDir: String): DataFrame =
+    spark.read.parquet(ckptDir)
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("committed_at_ms")).as("committed_at_ms"),
+        first(col("build_host")).as("build_host"))
+      .orderBy(col("bucket"))
+}
+
+/** Merge aggregators over already-serialized HLL / CMS sketch bytes
+  * (second-level aggregation; the Bloom analogue lives in SketchAggs). */
+final class HllBytesMergeAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val (p1, r1, tag1) = Hll.fromBytes(a)
+    val (p2, r2, tag2) = Hll.fromBytes(b)
+    require(p1 == p2 && tag1 == tag2, s"HLL merge: precision/type mismatch ($p1/$tag1 vs $p2/$tag2)")
+    Hll.toBytes(Hll.merge(r1, r2), p1, tag1, 0L)
+  }
+  def zero: Array[Byte] = Array.emptyByteArray
+  def reduce(b: Array[Byte], x: Array[Byte]): Array[Byte] = mergeBytes(b, x)
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeBytes(a, b)
+  def finish(b: Array[Byte]): Array[Byte] = b
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+final class CmsBytesMergeAgg(k0: Long = graft.SketchQueries.K0, k1: Long = graft.SketchQueries.K1)
+    extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val (d1, w1, c1, tag1) = CountMin.fromBytes(a)
+    val (d2, w2, c2, tag2) = CountMin.fromBytes(b)
+    require(d1 == d2 && w1 == w2 && tag1 == tag2, "CMS merge: shape/type mismatch")
+    CountMin.toBytes(CountMin.merge(c1, c2), CmsConfig(k0, k1, d1, w1), tag1)
+  }
+  def zero: Array[Byte] = Array.emptyByteArray
+  def reduce(b: Array[Byte], x: Array[Byte]): Array[Byte] = mergeBytes(b, x)
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeBytes(a, b)
+  def finish(b: Array[Byte]): Array[Byte] = b
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

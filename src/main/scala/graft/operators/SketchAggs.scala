@@ -30,12 +30,12 @@ object SketchAggs {
 
   /** Bloom over a column of token arrays (`tokens: array<int>`): every
     * element of every array is inserted. OUT = serialized filter bytes. */
-  final class BloomTokensAgg(cfg: BloomConfig) extends Aggregator[Seq[Int], Array[Long], Array[Byte]] {
+  final class BloomTokensAgg(cfg: BloomConfig) extends Aggregator[Array[Int], Array[Long], Array[Byte]] {
     override def zero: Array[Long] = new Array[Long](cfg.l)
-    override def reduce(buf: Array[Long], tokens: Seq[Int]): Array[Long] = {
+    override def reduce(buf: Array[Long], tokens: Array[Int]): Array[Long] = {
       if (tokens != null) {
-        val it = tokens.iterator
-        while (it.hasNext) BlockedBloom.insertInt(buf, cfg, it.next())
+        var i = 0
+        while (i < tokens.length) { BlockedBloom.insertInt(buf, cfg, tokens(i)); i += 1 }
       }
       buf
     }
@@ -122,12 +122,12 @@ object SketchAggs {
   // --------------------------------------------------------------- HLL
 
   /** HLL distinct-count over token arrays (distinct token ids). */
-  final class HllTokensAgg(k0: Long, k1: Long, p: Int) extends Aggregator[Seq[Int], Array[Byte], Array[Byte]] {
+  final class HllTokensAgg(k0: Long, k1: Long, p: Int) extends Aggregator[Array[Int], Array[Byte], Array[Byte]] {
     override def zero: Array[Byte] = Hll.empty(p)
-    override def reduce(buf: Array[Byte], tokens: Seq[Int]): Array[Byte] = {
+    override def reduce(buf: Array[Byte], tokens: Array[Int]): Array[Byte] = {
       if (tokens != null) {
-        val it = tokens.iterator
-        while (it.hasNext) Hll.addHash(buf, p, SipHash.hashInt(k0, k1, it.next()))
+        var i = 0
+        while (i < tokens.length) { Hll.addHash(buf, p, SipHash.hashInt(k0, k1, tokens(i))); i += 1 }
       }
       buf
     }
@@ -168,12 +168,12 @@ object SketchAggs {
   // --------------------------------------------------------- count-min
 
   /** Count-min over token arrays: one increment per token occurrence. */
-  final class CmsTokensAgg(cfg: CmsConfig) extends Aggregator[Seq[Int], Array[Long], Array[Byte]] {
+  final class CmsTokensAgg(cfg: CmsConfig) extends Aggregator[Array[Int], Array[Long], Array[Byte]] {
     override def zero: Array[Long] = CountMin.empty(cfg)
-    override def reduce(buf: Array[Long], tokens: Seq[Int]): Array[Long] = {
+    override def reduce(buf: Array[Long], tokens: Array[Int]): Array[Long] = {
       if (tokens != null) {
-        val it = tokens.iterator
-        while (it.hasNext) CountMin.addInt(buf, cfg, it.next())
+        var i = 0
+        while (i < tokens.length) { CountMin.addInt(buf, cfg, tokens(i)); i += 1 }
       }
       buf
     }

@@ -73,7 +73,7 @@ object Tokens {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.UserDefinedFunction
     val genTokens: UserDefinedFunction = udf { (i: Long) =>
-      val n = 1 + (graft.core.SipHash.hashLong(42L, 1L, i) >>> 1).toInt % (2 * avgTokens - 1)
+      val n = 1 + ((graft.core.SipHash.hashLong(42L, 1L, i) >>> 1) % (2L * avgTokens - 1)).toInt
       Array.tabulate(n) { j =>
         1 + ((graft.core.SipHash.hashLong(42L, 2L + j, i) >>> 1) % vocabSize).toInt
       }

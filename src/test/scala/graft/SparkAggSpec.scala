@@ -51,7 +51,7 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("Bloom agg over Spark partitions is byte-identical to serial build, at any parallelism") {
-    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Seq[Int]]())
+    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Array[Int]]())
     for (parts <- Seq(1, 3, 8)) {
       val df = tokenDf(500, parts)
       val distributed = df.agg(bloomUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
@@ -62,7 +62,7 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("Bloom agg is repartition-invariant (merge commutativity under shuffle)") {
-    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Seq[Int]]())
+    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Array[Int]]())
     val df = tokenDf(500, 4)
     val a = df.agg(bloomUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
     val b = df.repartition(7, col("doc_id")).agg(bloomUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
@@ -71,7 +71,7 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("per-source sketches probe their own tokens with zero false negatives") {
     val df = tokenDf(300, 4)
-    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Seq[Int]]())
+    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Array[Int]]())
     val sketches = df.groupBy(col("source")).agg(bloomUdaf(col("tokens")).as("sketch"))
     val missing = df.select(col("source"), explode(col("tokens")).as("token"))
       .join(broadcast(sketches), "source")
@@ -82,7 +82,7 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("BloomMergeAgg merges per-source sketches into a global filter correctly") {
     val df = tokenDf(300, 4)
-    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Seq[Int]]())
+    val bloomUdaf = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Array[Int]]())
     val mergeUdaf = udaf(new BloomMergeAgg(K0, K1), ExpressionEncoder[Array[Byte]]())
     val global = df.groupBy(col("source")).agg(bloomUdaf(col("tokens")).as("sketch"))
       .agg(mergeUdaf(col("sketch"))).head().getAs[Array[Byte]](0)
@@ -91,7 +91,7 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("HLL agg estimate within bound through Spark; merge-invariant") {
-    val hllUdaf = udaf(new HllTokensAgg(K0, K1, 12), ExpressionEncoder[Seq[Int]]())
+    val hllUdaf = udaf(new HllTokensAgg(K0, K1, 12), ExpressionEncoder[Array[Int]]())
     val df = tokenDf(2000, 5)
     val bytes = df.agg(hllUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
     val est = Hll.estimate(Hll.fromBytes(bytes)._2)
@@ -104,7 +104,7 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("CMS agg counters partitioning-invariant and one-sided") {
     val cms = SketchQueries.cmsCfg
-    val cmsUdaf = udaf(new CmsTokensAgg(cms), ExpressionEncoder[Seq[Int]]())
+    val cmsUdaf = udaf(new CmsTokensAgg(cms), ExpressionEncoder[Array[Int]]())
     val df = tokenDf(1000, 4)
     val bytes = df.agg(cmsUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
     val bytes2 = df.repartition(11).agg(cmsUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
