@@ -7,6 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.core._
 import graft.functions.SketchFunctions
+import graft.plans.GraftFunctions
 import graft.operators.SketchAggs._
 import graft.sources.Tokens
 
@@ -61,11 +62,12 @@ object SketchQueries {
     * occurrence against its own source's sketch. No false negatives ⇒ the
     * per-source present-count equals the exact per-source token count. */
   def bloomProbeExact(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val t = Tokens.table(spark, dir)
     val sketches = perSourceBloom(t)
     exploded(t)
       .join(broadcast(sketches), "source")
-      .where(SketchFunctions.bloomMightContainInt(K0, K1)(col("sketch"), col("token")))
+      .where(GraftFunctions.bloomMightContain(col("sketch"), col("token")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_present"))
       .orderBy(col("source"))
@@ -85,8 +87,10 @@ object SketchQueries {
     val sketchBytes = buildSide
       .agg(udaf(new BloomIntAgg(bloomCfg), ExpressionEncoder[Int]())(col("token")))
       .head().getAs[Array[Byte]](0)
+    GraftFunctions.register(spark)
     val probe = exploded(t).distinct()
-    val prefiltered = probe.where(SketchFunctions.bloomProbeInt(K0, K1, sketchBytes)(col("token")))
+    // foldable-sketch native expression: deserialized once, probed in codegen
+    val prefiltered = probe.where(GraftFunctions.bloomMightContain(lit(sketchBytes), col("token")))
     prefiltered
       .join(buildSide, Seq("token"), "left_semi") // exact confirmation join
       .groupBy(col("source"))
@@ -103,8 +107,9 @@ object SketchQueries {
     val globalBytes = perSourceBloom(t)
       .agg(bloomMergeUdaf(col("sketch")))
       .head().getAs[Array[Byte]](0)
+    GraftFunctions.register(spark)
     t.select(explode(col("tokens")).as("token")).distinct()
-      .where(SketchFunctions.bloomProbeInt(K0, K1, globalBytes)(col("token")))
+      .where(GraftFunctions.bloomMightContain(lit(globalBytes), col("token")))
       .agg(count(lit(1)).as("n_present"))
   }
 

@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{BlockedBloom, BloomConfig, Keys, SipHash}
+
+/** Deserialized, probe-ready blocked Bloom filter — the object referenced
+  * from generated code (one instance per plan, shipped once per task). */
+final class LoadedBloomFilter(val cfg: BloomConfig, val words: Array[Long]) extends Serializable {
+  def containsInt(x: Int): Boolean = BlockedBloom.containsInt(words, cfg, x)
+  def containsLong(x: Long): Boolean = BlockedBloom.containsLong(words, cfg, x)
+  def containsUTF8(s: UTF8String): Boolean =
+    if (cfg.hash64Enough)
+      BlockedBloom.containsHash64(words, cfg, SipHash.hash64(cfg.k0, cfg.k1, s.getBytes))
+    else {
+      val (hi, lo) = SipHash.hash128(cfg.k0, cfg.k1, s.getBytes)
+      BlockedBloom.containsHash128(words, cfg, hi, lo)
+    }
+}
+
+object LoadedBloomFilter {
+  def load(k0: Long, k1: Long, bytes: Array[Byte]): LoadedBloomFilter = {
+    val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, bytes)
+    new LoadedBloomFilter(cfg, words)
+  }
+}
+
+/** Native Catalyst predicate `graft_bloom_might_contain(sketch, elem)` —
+  * the reference's `lookup` (reference `Internal.hs:464-469`) as a
+  * whole-stage-codegen participant (preferred over the UDF per the
+  * build plan's extension ladder, SURVEY.md §7).
+  *
+  * When the sketch argument is foldable (the common case: a built sketch
+  * broadcast as a literal), it is deserialized ONCE per task and the
+  * generated code is a direct virtual call on the loaded filter — the same
+  * cost shape as the reference's one-word-read lookup, inside codegen, with
+  * no UDF encoder boundary. A non-foldable sketch column falls back to a
+  * content-checked single-entry cache per expression instance.
+  */
+case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: Long)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sketch argument must be BINARY, got ${left.dataType}")
+    else right.dataType match {
+      case IntegerType | LongType | StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"element type $t not supported (int/bigint/string)")
+    }
+
+  @transient private lazy val foldedFilter: LoadedBloomFilter =
+    if (left.foldable) {
+      val bytes = left.eval(null)
+      if (bytes == null) null
+      else LoadedBloomFilter.load(k0, k1, bytes.asInstanceOf[Array[Byte]])
+    } else null
+
+  // non-foldable path: single-entry content cache (never returns the wrong
+  // filter: full Arrays.equals before reuse)
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedFilter: LoadedBloomFilter = _
+
+  private def filterFor(bytes: Array[Byte]): LoadedBloomFilter = {
+    if (foldedFilter != null) foldedFilter
+    else {
+      if (cachedBytes == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
+        cachedBytes = bytes.clone()
+        cachedFilter = LoadedBloomFilter.load(k0, k1, bytes)
+      }
+      cachedFilter
+    }
+  }
+
+  def probeInt(bytes: Array[Byte], x: Int): Boolean = filterFor(bytes).containsInt(x)
+  def probeLong(bytes: Array[Byte], x: Long): Boolean = filterFor(bytes).containsLong(x)
+  def probeUTF8(bytes: Array[Byte], s: UTF8String): Boolean = filterFor(bytes).containsUTF8(s)
+
+  override def nullSafeEval(sketchVal: Any, elemVal: Any): Any = {
+    val bytes = sketchVal.asInstanceOf[Array[Byte]]
+    right.dataType match {
+      case IntegerType => probeInt(bytes, elemVal.asInstanceOf[Int])
+      case LongType => probeLong(bytes, elemVal.asInstanceOf[Long])
+      case StringType => probeUTF8(bytes, elemVal.asInstanceOf[UTF8String])
+    }
+  }
+
+  private def probeMethod: String = right.dataType match {
+    case IntegerType => "probeInt"
+    case LongType => "probeLong"
+    case StringType => "probeUTF8"
+  }
+
+  private def containsMethod: String = right.dataType match {
+    case IntegerType => "containsInt"
+    case LongType => "containsLong"
+    case StringType => "containsUTF8"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (left.foldable && foldedFilter != null) {
+      // literal sketch: deserialize once, generate a direct probe call —
+      // only the element child is evaluated per row
+      val fRef = ctx.addReferenceObj("graftBloom", foldedFilter, classOf[LoadedBloomFilter].getName)
+      val elemGen = right.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${elemGen.code}
+          boolean ${ev.isNull} = ${elemGen.isNull};
+          boolean ${ev.value} = false;
+          if (!${ev.isNull}) {
+            ${ev.value} = $fRef.$containsMethod(${elemGen.value});
+          }""")
+    } else {
+      val selfRef = ctx.addReferenceObj("graftBloomExpr", this, classOf[BloomMightContain].getName)
+      defineCodeGen(ctx, ev, (sketch, elem) => s"$selfRef.$probeMethod($sketch, $elem)")
+    }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SQL/Column registration for the native expressions. */
+object GraftFunctions {
+
+  val BloomMightContainName = "graft_bloom_might_contain"
+
+  private[plans] def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s, e) => BloomMightContain(s, e, Keys.DefaultK0, Keys.DefaultK1)
+    case Seq(s, e, Literal(kk0: Long, LongType), Literal(kk1: Long, LongType)) =>
+      BloomMightContain(s, e, kk0, kk1)
+    case _ => throw new IllegalArgumentException(
+      s"$BloomMightContainName expects (sketch BINARY, elem, [k0 BIGINT, k1 BIGINT])")
+  }
+
+  /** Register on an existing session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomMightContainName, builder, "built-in")
+
+  /** Column-API entry point (requires `register(spark)` once per session). */
+  def bloomMightContain(sketch: Column, elem: Column): Column =
+    org.apache.spark.sql.functions.call_function(BloomMightContainName, sketch, elem)
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injection. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.BloomMightContainName),
+      new ExpressionInfo(classOf[BloomMightContain].getName, GraftFunctions.BloomMightContainName),
+      exprs => GraftFunctions.builder(exprs)))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{BloomConfig, Keys}
+import graft.operators.SketchAggs.BloomTokensAgg
+
+/** Native Catalyst bloom-probe expression: codegen (foldable sketch) and
+  * non-foldable column paths, SQL surface, null handling, plan shape. */
+class BloomMightContainSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-expr-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val cfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 12)
+
+  def buildSketch(tokens: Seq[Int]): Array[Byte] = {
+    val words = new Array[Long](cfg.l)
+    tokens.foreach(t => graft.core.BlockedBloom.insertInt(words, cfg, t))
+    graft.core.BlockedBloom.toBytes(words, cfg, graft.core.BlockedBloom.TypeTag.Int)
+  }
+
+  test("foldable-sketch path: literal sketch probed under codegen, no false negatives") {
+    GraftFunctions.register(spark)
+    val inserted = (1 to 5000).map(_ * 2)
+    val sketch = buildSketch(inserted)
+    // spark.range (not a local collection) so the probe runs in a real
+    // physical plan instead of being constant-folded into LocalTableScan
+    val df = spark.range(1, 5001)
+      .select((col("id") * 2).cast("int").as("token"))
+      .withColumn("hit", GraftFunctions.bloomMightContain(lit(sketch), col("token")))
+    assert(df.where(!col("hit")).count() === 0L, "false negative through the native expression")
+    // plan must stay inside whole-stage codegen (the point of the expression)
+    val hasCodegenStage = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegenStage, s"expected a WholeStageCodegenExec stage in:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("foldable path FPR sane on anti-set") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val sketch = buildSketch((1 to 5000).map(_ * 2))
+    val anti = (1 to 10000).map(_ * 2 + 1)
+    val fp = anti.toDF("token")
+      .where(GraftFunctions.bloomMightContain(lit(sketch), col("token"))).count()
+    assert(fp.toDouble / anti.size < 0.02, s"FPR too high: $fp/${anti.size}")
+  }
+
+  test("non-foldable sketch column (per-group sketches joined onto rows)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (0 until 2000).map(i => (s"src${i % 3}", Array(i, i + 10000), 2)).toDF("source", "tokens", "n_tok")
+    val bloomU = udaf(new BloomTokensAgg(cfg), ExpressionEncoder[Array[Int]]())
+    val sketches = df.groupBy($"source").agg(bloomU($"tokens").as("sketch"))
+    val missing = df.select($"source", explode($"tokens").as("token"))
+      .join(broadcast(sketches), "source")
+      .where(!GraftFunctions.bloomMightContain($"sketch", $"token"))
+      .count()
+    assert(missing === 0L)
+  }
+
+  test("SQL surface and null semantics") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val sketch = buildSketch(Seq(7, 8, 9))
+    Seq(Some(7), Some(1000), None).toDF("token").createOrReplaceTempView("probe_t")
+    spark.udf // force session init
+    val rows = spark.sql(
+      "SELECT token, graft_bloom_might_contain(" +
+        s"X'${sketch.map("%02x".format(_)).mkString}', token) AS hit FROM probe_t ORDER BY token")
+      .collect()
+    // null token -> null result
+    val byToken = rows.map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
+      (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(byToken(Some(7)) === Some(true))
+    assert(byToken(None) === None, "null element must yield null, not false")
+  }
+
+  test("long and string element types") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val wordsL = new Array[Long](cfg.l)
+    (1L to 100L).foreach(x => graft.core.BlockedBloom.insertLong(wordsL, cfg, x))
+    val skL = graft.core.BlockedBloom.toBytes(wordsL, cfg, graft.core.BlockedBloom.TypeTag.Long)
+    val hitsL = (1L to 100L).toDF("x")
+      .where(GraftFunctions.bloomMightContain(lit(skL), col("x"))).count()
+    assert(hitsL === 100L)
+
+    val wordsS = new Array[Long](cfg.l)
+    val strs = Seq("alpha", "beta", "gamma", "héllo")
+    strs.foreach(s => graft.core.BlockedBloom.insertString(wordsS, cfg, s))
+    val skS = graft.core.BlockedBloom.toBytes(wordsS, cfg, graft.core.BlockedBloom.TypeTag.String)
+    val hitsS = strs.toDF("s")
+      .where(GraftFunctions.bloomMightContain(lit(skS), col("s"))).count()
+    assert(hitsS === strs.size.toLong,
+      "UTF8String probe must agree with the String insert encoding")
+  }
+}
