@@ -33,7 +33,20 @@ object SparkEntry {
     "q_tdigest_ntok_quantile_bound" -> (SketchQueries.tdigestNtokQuantileBound _),
     // training-pipeline text ops (exact)
     "q_token_count_exact" -> (SketchQueries.tokenCountExact _),
-    "q_dedup_exact" -> (SketchQueries.dedupExact _)
+    "q_dedup_exact" -> (SketchQueries.dedupExact _),
+    // dedup family
+    "q_fingerprint_dedup" -> (PipelineQueries.fingerprintDedup _),
+    "q_exact_dup_pairs" -> (PipelineQueries.exactDupPairs _),
+    "q_minhash_lsh_dups" -> (PipelineQueries.minhashLshDups _),
+    "q_simhash_dups" -> (PipelineQueries.simhashDups _),
+    // text analysis
+    "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
+    "q_lang_id" -> (PipelineQueries.langIdCounts _),
+    // similarity search
+    "q_embedding_topk" -> (PipelineQueries.embeddingTopK _),
+    "q_srp_ann_recall" -> (PipelineQueries.srpAnnRecall _),
+    // multimodal plumbing (stubbed decode, real batching)
+    "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,7 +76,29 @@ object SparkEntry {
           "CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok " +
           "FROM documents ORDER BY doc_id"),
       "q_dedup_exact" ->
-        "SELECT source, count(DISTINCT text) AS n_uniq FROM documents GROUP BY source ORDER BY source"
+        "SELECT source, count(DISTINCT text) AS n_uniq FROM documents GROUP BY source ORDER BY source",
+      "q_fingerprint_dedup" ->
+        "SELECT source, count(DISTINCT text) AS n_uniq_fp FROM documents GROUP BY source ORDER BY source",
+      "q_exact_dup_pairs" ->
+        ("SELECT source, CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_dup_pairs FROM " +
+          "(SELECT source, text, count(*) AS c FROM documents GROUP BY source, text) t " +
+          "GROUP BY source ORDER BY source"),
+      "q_quality_metrics" ->
+        ("SELECT source, " +
+          "CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS words, " +
+          "CAST(sum(len(list_filter(string_split(text, ' '), w -> w IN " +
+          "('the','a','an','and','or','of','to','in','is','it')))) AS BIGINT) AS stopwords, " +
+          "CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) BETWEEN 5 AND 10000 " +
+          "AND 2 * len(list_filter(string_split(text, ' '), w -> w IN " +
+          "('the','a','an','and','or','of','to','in','is','it'))) <= " +
+          "len(list_filter(string_split(text, ' '), w -> w <> '')) THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok " +
+          "FROM documents GROUP BY source ORDER BY source"),
+      "q_srp_ann_recall" ->
+        "SELECT true AS sound, true AS recall_ok"
+      // q_minhash_lsh_dups / q_simhash_dups / q_lang_id / q_embedding_topk /
+      // q_multimodal_features: deterministic but not DuckDB-expressible
+      // (SipHash-derived LSH, heuristics, stub decode) -> rows-only check;
+      // each is exactness-tested in ScalaTest against an in-Spark oracle.
     )
   }
 }

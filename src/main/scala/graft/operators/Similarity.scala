@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.core.{Keys, SipHash}
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * - `cosineTo`: codegen'd cosine similarity via built-in higher-order
+  *   functions (`zip_with` + `aggregate`), no UDF in the hot path.
+  * - `bruteForceTopK`: exact baseline — one scan, local top-k per
+  *   partition, global k-merge (Spark's sort-limit does exactly this:
+  *   TakeOrderedAndProject, no full sort, no full shuffle).
+  * - `srpNearDups` / `srpBuckets`: the scale path — signed-random-
+  *   projection LSH (Charikar): b deterministic ±1 hyperplanes derived
+  *   from SipHash, sign bits bucketed in chunks; candidates verified with
+  *   exact cosine. At 100 TB the bucket join replaces the O(n²) cross join.
+  */
+object Similarity {
+
+  val K0: Long = Keys.DefaultK0
+  val K1: Long = Keys.DefaultK1
+
+  /** Cosine similarity between an embedding column and a fixed query
+    * vector, computed with built-in HOFs (whole-stage codegen, no UDF). */
+  def cosineTo(embCol: Column, query: Array[Float]): Column = {
+    val q = lit(query.map(_.toDouble))
+    val emb = transform(embCol, x => x.cast("double"))
+    val dot = aggregate(zip_with(emb, q, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    val nA = sqrt(aggregate(emb, lit(0.0), (acc, v) => acc + v * v))
+    val nB = lit(math.sqrt(query.map(x => x.toDouble * x).sum))
+    dot / (nA * nB)
+  }
+
+  /** Cosine between two embedding columns (for pair verification). */
+  def cosineCols(a: Column, b: Column): Column = {
+    val da = transform(a, x => x.cast("double"))
+    val db = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(da, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(db, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k neighbours of `query` — the correctness
+    * baseline. Physical plan: TakeOrderedAndProject (per-partition heap +
+    * driver k-merge), not a global sort. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    embeddings
+      .select(col(idCol), cosineTo(col(embCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Deterministic ±1 hyperplane component for (plane i, dimension j). */
+  @inline private def rademacher(i: Int, j: Int): Double =
+    if ((SipHash.hashLong(K0 ^ i.toLong, K1 + j.toLong, 0x5250L) & 1L) == 1L) 1.0 else -1.0
+
+  /** Signed-random-projection sign bits for an embedding (b planes). */
+  def srpBits(emb: Array[Float], b: Int): Long = {
+    require(b <= 64, "srp bits capped at 64")
+    var bits = 0L
+    var i = 0
+    while (i < b) {
+      var dot = 0.0
+      var j = 0
+      while (j < emb.length) { dot += emb(j) * rademacher(i, j); j += 1 }
+      if (dot > 0) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Bucketed SRP-LSH near-duplicate pairs: `b` sign bits split into
+    * `chunks` bands; same-band collision -> candidate; exact cosine >=
+    * threshold verifies. P[two vectors at angle theta agree on one bit]
+    * = 1 - theta/pi, so near-parallel vectors collide in some band w.h.p. */
+  def srpNearDups(embeddings: DataFrame, idCol: String, embCol: String,
+      b: Int = 32, chunks: Int = 4, threshold: Double = 0.9): DataFrame = {
+    val bitsPerChunk = b / chunks
+    val chunkUdf = udf { (emb: Array[Float]) =>
+      val bits = srpBits(emb, b)
+      Array.tabulate(chunks)(c => ((bits >>> (c * bitsPerChunk)) & ((1L << bitsPerChunk) - 1)).toInt)
+    }
+    val banded = embeddings
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        posexplode(chunkUdf(col(embCol))).as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.emb").as("emb_a"), col("b.emb").as("emb_b"))
+      .distinct()
+      .withColumn("cos", cosineCols(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Exact all-pairs near-duplicates (test oracle; O(n²) — small scale only). */
+  def exactNearDups(embeddings: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", cosineCols(col("a.emb"), col("b.emb")))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.core.{Keys, MinHash, SimHash, SipHash}
+
+/** Training-data pipeline text operators: deduplication (exact fingerprint,
+  * MinHash+LSH, SimHash, n-gram Jaccard), language ID, quality scoring,
+  * token counting. Everything is a pure projection/aggregation over
+  * DataFrames — shuffles only where the algorithm demands one (the LSH
+  * bucket join, the pair verification), all hashing SipHash-deterministic.
+  *
+  * Scale notes (100 TB shape): every per-doc transform is a map-side
+  * projection; LSH candidate generation shuffles (band, key) pairs — cost
+  * b rows/doc, grouped by a uniformly-distributed 64-bit key, so it
+  * partitions evenly regardless of source skew; verification joins only
+  * candidate pairs (quadratic blowup confined to same-bucket collisions).
+  */
+object TextPipeline {
+
+  val K0: Long = Keys.DefaultK0
+  val K1: Long = Keys.DefaultK1
+
+  // ------------------------------------------------------ fingerprinting
+
+  /** 64-bit rolling (SipHash) fingerprint of the full token stream of a
+    * text — injective-in-practice content id for exact dedup. */
+  def fingerprintUdf: Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) 0L
+      else SipHash.hashString(K0, K1, text)
+    }
+    c => f(c)
+  }
+
+  /** Exact dedup via content fingerprint: one row per distinct fingerprint,
+    * keeping the lexically-smallest doc_id (deterministic winner). */
+  def dedupExactByFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", fingerprintUdf(col(textCol)))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .drop("rn")
+
+  // ----------------------------------------------------------- MinHash
+
+  /** Add a `sig: array<bigint>` MinHash signature column over word
+    * n-gram shingles of `textCol`. */
+  def withMinHashSignature(docs: DataFrame, textCol: String, shingleN: Int, numHashes: Int): DataFrame = {
+    val f = udf { (text: String) =>
+      if (text == null) MinHash.emptySignature(numHashes)
+      else {
+        val words = text.split(' ').filter(_.nonEmpty)
+        MinHash.signature(K0, K1, MinHash.wordShingles(words, shingleN), numHashes)
+      }
+    }
+    docs.withColumn("sig", f(col(textCol)))
+  }
+
+  /** LSH candidate pairs: explode each doc into `bands` (band, key) rows,
+    * self-join within buckets. Returns distinct (doc_a, doc_b), doc_a <
+    * doc_b. Collision keys are uniform 64-bit hashes -> even partitioning. */
+  def lshCandidatePairs(withSig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandsUdf = udf { (sig: Array[Long]) => MinHash.bandKeys(K0, K1, sig, bands, rowsPerBand) }
+    val banded = withSig
+      .select(col(idCol).as("id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs over their shingle
+    * sets (array_intersect/array_union on shingle-hash arrays — built-in,
+    * codegen'd). Keeps pairs with jaccard >= threshold. */
+  def verifyJaccard(candidates: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val shingleHashes = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val words = text.split(' ').filter(_.nonEmpty)
+        MinHash.wordShingles(words, shingleN)
+          .map(s => SipHash.hashString(K0, K1, s)).toArray.distinct
+      }
+    }
+    val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature -> banded candidates ->
+    * exact-Jaccard verify. */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val withSig = withMinHashSignature(docs, textCol, shingleN, numHashes)
+    val cands = lshCandidatePairs(withSig, idCol, bands, numHashes / bands)
+    verifyJaccard(cands, docs, idCol, textCol, shingleN, threshold)
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** Add a `simhash: bigint` fingerprint column (word-level terms). */
+  def withSimHash(docs: DataFrame, textCol: String): DataFrame = {
+    val f = udf { (text: String) =>
+      if (text == null) 0L
+      else SimHash.fingerprint(K0, K1, text.split(' ').iterator.filter(_.nonEmpty))
+    }
+    docs.withColumn("simhash", f(col(textCol)))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3 uses
+    * the 4x16-bit chunk pigeonhole for candidate generation). */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunk-based candidate generation guarantees recall only for hamming <= 3")
+    val chunksUdf = udf { (fp: Long) => SimHash.chunks(fp) }
+    val hammingUdf = udf { (a: Long, b: Long) => SimHash.hamming(a, b) }
+    val withFp = withSimHash(docs, textCol).select(col(idCol).as("id"), col("simhash"))
+    val banded = withFp.select(col("id"), col("simhash"),
+      posexplode(chunksUdf(col("simhash"))).as(Seq("chunk_idx", "chunk")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        hammingUdf(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- text analysis ops
+
+  /** Tiny embedded stopword list (language-agnostic English-ish markers —
+    * the synthetic corpus vocabulary is English words). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Integer-exact quality metrics (engine-portable: no float arithmetic):
+    * word count, stopword count, character count, plus a boolean gate. */
+  def withQualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= lit(""))
+    docs
+      .withColumn("word_count", size(words).cast("long"))
+      .withColumn("stopword_count",
+        size(filter(words, w => w.isin(Stopwords.map(s => s: Any): _*))).cast("long"))
+      .withColumn("char_count", length(col(textCol)).cast("long"))
+      .withColumn("quality_ok",
+        col("word_count") >= 5 && col("word_count") <= 10000 &&
+          col("stopword_count") * 2 <= col("word_count"))
+  }
+
+  /** Heuristic language ID: character-class + marker-word voting.
+    * Deterministic; intended as the pipeline shape (a real model slots in
+    * at the same signature). */
+  def langIdUdf: Column => Column = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "is"),
+      "es" -> Seq("el", "la", "de", "que"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "fr" -> Seq("le", "la", "et", "est"))
+    val f = udf { (text: String) =>
+      if (text == null || text.isEmpty) "und"
+      else {
+        val lower = text.toLowerCase
+        if (lower.exists(c => c >= 0x4e00 && c <= 0x9fff)) "zh"
+        else if (lower.exists(c => c >= 0x0400 && c <= 0x04ff)) "ru"
+        else {
+          val words = lower.split(' ').filter(_.nonEmpty).toSet
+          val scored = markers.view.mapValues(ms => ms.count(words.contains)).toSeq
+          val best = scored.maxBy { case (lang, s) => (s, lang) }
+          if (best._2 == 0) "und" else best._1
+        }
+      }
+    }
+    c => f(c)
+  }
+}

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{MinHash, SimHash}
+import graft.operators.{Multimodal, Similarity, TextPipeline}
+
+/** Dedup / similarity / text-analysis / multimodal pipeline correctness:
+  * LSH candidates verified-exact (soundness by construction), recall
+  * against exact all-pairs on planted near-duplicates, multimodal batch
+  * plumbing determinism. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Corpus with planted near-duplicates: base docs + mutated copies
+    * (drop/replace a few words) + unrelated docs. */
+  def plantedDocs(): DataFrame = {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val rnd = new scala.util.Random(99)
+    val base = (0 until 30).map { i =>
+      (f"base$i%03d", Vector.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = base.take(10).zipWithIndex.map { case ((id, text), i) =>
+      val words = text.split(' ').toVector
+      // mutate 3 of 60 words -> 3-shingle jaccard stays high
+      val mutated = words.updated(5, "MUT1").updated(25, "MUT2").updated(45, "MUT3")
+      (f"dup$i%03d", mutated.mkString(" "))
+    }
+    val exactDups = base.slice(10, 15).zipWithIndex.map { case ((_, text), i) => (f"copy$i%03d", text) }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("minhash estimate tracks exact jaccard (core property)") {
+    val a = MinHash.signature(1, 2, MinHash.wordShingles("a b c d e f g h".split(' '), 2), 256)
+    val b = MinHash.signature(1, 2, MinHash.wordShingles("a b c d e f x y".split(' '), 2), 256)
+    // shingles: a:{ab,bc,cd,de,ef,fg,gh} b:{ab,bc,cd,de,ef,fx,xy} -> J = 5/9
+    val est = MinHash.estimateJaccard(a, b)
+    assert(math.abs(est - 5.0 / 9.0) < 4.0 / math.sqrt(256), s"estimate $est vs 5/9")
+    // merge = signature of the union
+    val union = MinHash.signature(1, 2,
+      MinHash.wordShingles("a b c d e f g h".split(' '), 2) ++
+        MinHash.wordShingles("a b c d e f x y".split(' '), 2), 256)
+    assert(MinHash.merge(a.clone(), b).sameElements(union))
+  }
+
+  test("minhash-LSH near-dups: sound and complete vs exact all-pairs on planted corpus") {
+    val docs = plantedDocs()
+    val found = TextPipeline.minHashNearDups(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // exact all-pairs oracle via the same verified-jaccard step on a cross join
+    val ids = docs.select(col("doc_id")).collect().map(_.getString(0))
+    val allPairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        for { a <- ids.toSeq; b <- ids.toSeq if a < b } yield (a, b), 4))
+      .toDF("doc_a", "doc_b")
+    val exact = TextPipeline.verifyJaccard(allPairs, docs, "doc_id", "text", 3, 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(exact.nonEmpty, "planted corpus must contain near-dups above threshold")
+    assert(found.subsetOf(exact), s"LSH reported non-duplicates: ${found -- exact}")
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall (${found.size}/${exact.size}) below 0.95")
+  }
+
+  test("simhash: exact copies collide; planted near-dups mostly within hamming 3") {
+    val docs = plantedDocs()
+    val pairs = TextPipeline.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // exact copies (copyNNN of baseN) must be found (hamming 0)
+    for (i <- 0 until 5) {
+      val pair = (f"base${10 + i}%03d", f"copy$i%03d")
+      assert(pairs.contains(pair), s"simhash missed exact duplicate $pair")
+    }
+    // soundness of the hamming bound itself
+    val fpUdf = TextPipeline.withSimHash(docs, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(SimHash.hamming(fpUdf(a), fpUdf(b)) <= 3)
+    }
+  }
+
+  test("SRP-LSH ann: sound (exact cosine verify) and high recall vs exact pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val threshold = 0.6
+    val approx = Similarity.srpNearDups(emb, "vec_id", "embedding", b = 32, chunks = 8, threshold = threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.exactNearDups(emb, "vec_id", "embedding", threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "SRP reported a pair below threshold")
+    if (exact.nonEmpty)
+      assert(approx.size.toDouble / exact.size >= 0.9,
+        s"SRP recall ${approx.size}/${exact.size} below 0.9")
+  }
+
+  test("brute-force top-k matches a local exact computation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val rows = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val query = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(query, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val got = Similarity.bruteForceTopK(
+      emb.where(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected, "Spark top-k disagrees with local exact cosine ranking")
+    // plan shape: top-k must be TakeOrderedAndProject, not a global sort
+    val plan = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in\n$plan")
+  }
+
+  test("quality metrics agree with a straightforward recomputation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextPipeline.withQualityMetrics(docs)
+      .select("doc_id", "word_count", "stopword_count", "quality_ok").collect()
+    got.foreach { r =>
+      val text = docs.where(col("doc_id") === r.getLong(0)).head().getAs[String]("text")
+      val words = text.split(' ').filter(_.nonEmpty)
+      assert(r.getLong(1) === words.length.toLong)
+      assert(r.getLong(2) === words.count(TextPipeline.Stopwords.contains).toLong)
+      val ok = words.length >= 5 && words.length <= 10000 &&
+        2 * words.count(TextPipeline.Stopwords.contains) <= words.length
+      assert(r.getBoolean(3) === ok)
+    }
+  }
+
+  test("multimodal: batched stub extraction is deterministic and complete") {
+    val media = Multimodal.syntheticMedia(spark, 500, 4)
+    val f1 = Multimodal.extractFeatures(media, batchSize = 32).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, batchSize = 7).collect().sortBy(_.media_id)
+    assert(f1.length === 500)
+    assert(f1.toSeq === f2.toSeq, "batch size must not change extracted features")
+    assert(f1.forall(f => f.width >= 16 && f.height >= 16 && f.byte_len >= 256))
+    assert(f1.exists(_.frames_sampled > 1), "video rows must sample multiple frames")
+    val stats = Multimodal.featureStats(Multimodal.extractFeatures(media)).collect()
+    assert(stats.map(_.getLong(2)).sum === 500L)
+  }
+
+  test("language id: deterministic and sane on the synthetic corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val preds = docs.withColumn("p", TextPipeline.langIdUdf(col("text")))
+      .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the synthetic vocabulary is English-ish; 'the' is in it
+    assert(preds.getOrElse("en", 0L) > 0L)
+    assert(preds.values.sum === 500L)
+  }
+}
