@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{BlockedBloom, BloomConfig, Hll, Keys}
+
+/** Streaming ≡ batch: the same Aggregator fed through a MemoryStream in
+  * micro-batches must produce sketches byte-identical to a batch build over
+  * the same rows (merge order-insensitivity under the state store). */
+class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val cfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 10)
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed streaming sketches equal batch-built sketches per (window, source)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val df = stream.toDF().toDF("ts", "source", "tokens")
+    val out = StreamingSketch.perSourceWindowedSketches(
+      df, "ts", "10 minutes", "5 minutes", cfg, hllP = 10)
+
+    val query = out.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_sketches")
+      .start()
+    try {
+      // three micro-batches, two windows, two sources
+      stream.addData((ts(1), "a", Array(1, 2, 3)), (ts(2), "b", Array(10, 11)))
+      query.processAllAvailable()
+      stream.addData((ts(3), "a", Array(4, 5)), (ts(6), "a", Array(100, 101)))
+      query.processAllAvailable()
+      stream.addData((ts(7), "b", Array(200)), (ts(4), "b", Array(12)))
+      query.processAllAvailable()
+
+      val rows = spark.table("stream_sketches")
+        .select(col("window.start").cast("string").as("w"), col("source"), col("bloom"), col("hll"),
+          col("n_rows"), col("n_tokens"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+
+      // expected contents per (window, source)
+      val expected = Map(
+        ("2026-01-01 10:00:00", "a") -> Seq(1, 2, 3, 4, 5),
+        ("2026-01-01 10:05:00", "a") -> Seq(100, 101),
+        ("2026-01-01 10:00:00", "b") -> Seq(10, 11, 12),
+        ("2026-01-01 10:05:00", "b") -> Seq(200))
+      assert(rows.keySet === expected.keySet)
+
+      expected.foreach { case (key, toks) =>
+        val r = rows(key)
+        // byte-identical to a serial batch build of the same tokens
+        val words = new Array[Long](cfg.l)
+        toks.foreach(BlockedBloom.insertInt(words, cfg, _))
+        val serial = BlockedBloom.toBytes(words, cfg, BlockedBloom.TypeTag.Int)
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("bloom"), serial),
+          s"streaming bloom for $key differs from batch build")
+        val (p, regs, _) = Hll.fromBytes(r.getAs[Array[Byte]]("hll"))
+        val serialHll = Hll.empty(p)
+        toks.foreach(t => Hll.addHash(serialHll, p, graft.core.SipHash.hashInt(cfg.k0, cfg.k1, t)))
+        assert(regs.sameElements(serialHll), s"streaming hll for $key differs")
+        assert(r.getAs[Long]("n_tokens") === toks.size.toLong)
+      }
+    } finally query.stop()
+  }
+
+  test("late data beyond the watermark is dropped (append-mode semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val df = stream.toDF().toDF("ts", "source", "tokens")
+    val out = StreamingSketch.perSourceWindowedSketches(
+      df, "ts", "5 minutes", "5 minutes", cfg, hllP = 10)
+
+    val query = out.writeStream
+      .outputMode("append") // append emits a window only once it's final
+      .format("memory")
+      .queryName("stream_late")
+      .start()
+    try {
+      stream.addData((ts(1), "a", Array(1)))
+      query.processAllAvailable()
+      // advance the watermark far past the first window
+      stream.addData((ts(30), "a", Array(2)))
+      query.processAllAvailable()
+      // now try to add data for the long-closed first window
+      stream.addData((ts(2), "a", Array(999)))
+      query.processAllAvailable()
+      stream.addData((ts(59), "a", Array(3)))
+      query.processAllAvailable()
+
+      val finalized = spark.table("stream_late")
+        .select(col("window.start").cast("string"), col("bloom")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(finalized.contains("2026-01-01 10:00:00"), "first window must have finalized")
+      val (c, w, _) = BlockedBloom.fromBytes(cfg.k0, cfg.k1, finalized("2026-01-01 10:00:00"))
+      assert(BlockedBloom.containsInt(w, c, 1))
+      assert(!BlockedBloom.containsInt(w, c, 999),
+        "late row beyond the watermark must not reach the finalized sketch")
+    } finally query.stop()
+  }
+}
