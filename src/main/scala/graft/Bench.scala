@@ -45,19 +45,16 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** The flagship sketch-build job: per-source Bloom + HLL + CMS in one
-    * scan. Returns the global (merged) bloom bytes for the FPR check. */
+  /** The flagship sketch-build job: per-source Bloom + HLL + CMS in ONE
+    * pass via the fused aggregator (one input decode + two hashes per
+    * token). Returns the global (merged) bloom bytes for the FPR check. */
   private def buildSketches(spark: SparkSession, df: DataFrame, cfg: BloomConfig): Array[Byte] = {
-    val tokensEnc = ExpressionEncoder[Array[Int]]()
-    val bloomU = udaf(new BloomTokensAgg(cfg), tokensEnc)
-    val hllU = udaf(new HllTokensAgg(SketchQueries.K0, SketchQueries.K1, 12), tokensEnc)
-    val cmsU = udaf(new CmsTokensAgg(CmsConfig(SketchQueries.K0, SketchQueries.K1, 5, 11)), tokensEnc)
-    val perSource = df.groupBy(col("source")).agg(
-      bloomU(col("tokens")).as("bloom"),
-      hllU(col("tokens")).as("hll"),
-      cmsU(col("tokens")).as("cms"))
+    val fusedU = udaf(
+      new FusedTokensAgg(cfg, 12, CmsConfig(SketchQueries.K0, SketchQueries.K1, 5, 11)),
+      ExpressionEncoder[Array[Int]]())
+    val perSource = df.groupBy(col("source")).agg(fusedU(col("tokens")).as("sk"))
     val mergeU = udaf(new BloomMergeAgg(SketchQueries.K0, SketchQueries.K1), ExpressionEncoder[Array[Byte]]())
-    perSource.agg(mergeU(col("bloom"))).head().getAs[Array[Byte]](0)
+    perSource.agg(mergeU(col("sk.bloom"))).head().getAs[Array[Byte]](0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -115,31 +112,28 @@ object Bench {
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(lowCpus, midCpus, cpus))
     var bloomBytes: Array[Byte] = null
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val throughput = levels.map { n =>
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // INTERLEAVED rounds: host throughput in this sandbox drifts over tens
+    // of minutes (co-tenants), so each round measures every level back to
+    // back and the ratio is taken over per-level minima — a block design
+    // would let drift masquerade as (anti-)scaling. One warm-up pass per
+    // level on its first visit covers JIT + page cache.
+    val secsByLevel = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Double]]
+    for (round <- 1 to rounds; n <- levels) {
       val s = session(n)
       val df = s.read.parquet(benchPath)
-      val (_, warmSec) = time(buildSketches(s, df, cfg)) // JIT + page cache
-      // min over iterations: single-run wall times in a shared sandbox are
-      // noisy (GC, page cache, co-tenants); min isolates the job's own cost.
-      // Adaptive: keep iterating (cap 2*iters) until the min stops improving.
-      val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var it = 0
-      var continue = true
-      while (continue) {
-        val (bytes, sec) = time(buildSketches(s, df, cfg))
-        bloomBytes = bytes
-        secs += sec
-        it += 1
-        val stable = secs.length >= iters &&
-          secs.takeRight(2).forall(_ <= secs.min * 1.15)
-        continue = !stable && it < 2 * iters
-      }
-      val sec = secs.min
-      System.err.println(f"[bench] local[$n]: warm=$warmSec%.3f s measured=${secs.map(x => f"$x%.2f").mkString(",")}%s -> min $sec%.3f s")
+      if (round == 1) time(buildSketches(s, df, cfg)) // warm-up
+      val (bytes, sec) = time(buildSketches(s, df, cfg))
+      bloomBytes = bytes
+      secsByLevel.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer.empty) += sec
       s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
+    }
+    val throughput = levels.map { n =>
+      val secs = secsByLevel(n)
+      val sec = secs.min
+      System.err.println(f"[bench] local[$n]: measured=${secs.map(x => f"$x%.2f").mkString(",")}%s -> min $sec%.3f s")
       n -> (totalTokens / sec, sec)
     }.toMap
     val l0 = levels(0)

@@ -199,6 +199,51 @@ object SketchQueries {
     agg.select(col("source"), ok.as("within_bound")).orderBy(col("source"))
   }
 
+  /** CMS-driven heavy-hitter top-k: rank distinct candidate tokens per
+    * source by their count-min estimate. At this width (2048 counters vs a
+    * tiny vocabulary) estimates are collision-free, i.e. exact, so the
+    * (rank, est) pairs match the exact SQL top-k; the tie-break (estimate
+    * desc, token asc) aligns with the oracle's (count desc, word asc)
+    * because token ids are assigned in word-lexical order. */
+  def cmsTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val t = Tokens.table(spark, dir)
+    val sk = t.groupBy(col("source")).agg(cmsTokensUdaf(col("tokens")).as("sk"))
+    val candidates = exploded(t).distinct()
+    val est = candidates
+      .join(broadcast(sk), "source")
+      .select(col("source"), col("token"),
+        SketchFunctions.cmsEstimateInt(K0, K1)(col("sk"), col("token")).as("est"))
+    val w = Window.partitionBy(col("source")).orderBy(col("est").desc, col("token").asc)
+    est.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"), col("est"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** Bloom intersection (reference `intersectionInto`): intersect the
+    * sketches of the two lexically-first sources, then probe with the
+    * EXACT common-token set — intersection never loses a common element,
+    * so the present-count equals the exact common distinct count. */
+  def bloomIntersectExact(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val t = Tokens.table(spark, dir)
+    val sketches = perSourceBloom(t).orderBy(col("source")).limit(2).collect()
+    require(sketches.length == 2, "need at least two sources")
+    val (srcA, skA) = (sketches(0).getString(0), sketches(0).getAs[Array[Byte]](1))
+    val (srcB, skB) = (sketches(1).getString(0), sketches(1).getAs[Array[Byte]](1))
+    val interBytes = {
+      val (cfgA, wa, tag) = BlockedBloom.fromBytes(K0, K1, skA)
+      val (_, wb, _) = BlockedBloom.fromBytes(K0, K1, skB)
+      BlockedBloom.toBytes(BlockedBloom.intersectInPlace(wa, wb), cfgA, tag)
+    }
+    val tokensOf = (s: String) =>
+      exploded(t).where(col("source") === s).select(col("token")).distinct()
+    val common = tokensOf(srcA).intersect(tokensOf(srcB))
+    common
+      .where(GraftFunctions.bloomMightContain(lit(interBytes), col("token")))
+      .agg(count(lit(1)).as("n_common_present"))
+  }
+
   /** Empirical FPR of the per-source Bloom vs the analytic bound: probe
     * with an anti-set (token ids that never occur: negative ints) and
     * require |measured - fpr(n,l,k,w)| within 0.005 + 3 binomial sigma

@@ -29,6 +29,8 @@ object SparkEntry {
     "q_hll_distinct_tokens_bound" -> (SketchQueries.hllDistinctTokensBound _),
     "q_hll_distinct_docs_bound" -> (SketchQueries.hllDistinctDocsBound _),
     "q_cms_heavyhitter_bound" -> (SketchQueries.cmsHeavyHitterBound _),
+    "q_cms_topk" -> ((s: SparkSession, d: String) => SketchQueries.cmsTopK(s, d)),
+    "q_bloom_intersect_exact" -> (SketchQueries.bloomIntersectExact _),
     "q_kll_ntok_quantile_bound" -> (SketchQueries.kllNtokQuantileBound _),
     "q_tdigest_ntok_quantile_bound" -> (SketchQueries.tdigestNtokQuantileBound _),
     // training-pipeline text ops (exact)
@@ -66,6 +68,18 @@ object SparkEntry {
       "q_bloom_union_global" ->
         s"SELECT count(DISTINCT w) AS n_present FROM ($words) t WHERE w <> ''",
       "q_bloom_fpr_bound" -> boundOracle,
+      "q_cms_topk" ->
+        ("SELECT source, CAST(rn AS BIGINT) AS rank, CAST(c AS BIGINT) AS est FROM (" +
+          s"SELECT source, w, count(*) AS c, row_number() OVER " +
+          "(PARTITION BY source ORDER BY count(*) DESC, w ASC) AS rn " +
+          s"FROM ($words) t WHERE w <> '' GROUP BY source, w) x " +
+          "WHERE rn <= 3 ORDER BY source, rn"),
+      "q_bloom_intersect_exact" ->
+        ("SELECT count(DISTINCT w) AS n_common_present FROM " +
+          s"($words) t WHERE w <> '' AND source = (SELECT min(source) FROM documents) AND w IN (" +
+          s"SELECT w2 FROM (SELECT source, unnest(string_split(text, ' ')) AS w2 FROM documents) u " +
+          "WHERE w2 <> '' AND source = (SELECT min(source) FROM (SELECT DISTINCT source FROM documents) s " +
+          "WHERE source > (SELECT min(source) FROM documents)))"),
       "q_hll_distinct_tokens_bound" -> boundOracle,
       "q_hll_distinct_docs_bound" -> boundOracle,
       "q_cms_heavyhitter_bound" -> boundOracle,

@@ -126,6 +126,25 @@ object SketchFunctions extends Serializable {
     c => f(c)
   }
 
+  /** `bloom_intersect(a, b)` — word-wise AND of two serialized filters
+    * (reference `intersectionInto`, `Internal.hs:494-505`). Lossy (result
+    * FPR >= direct-build FPR) but never loses a common element. Different
+    * sizes fold down to the smaller, same as union. */
+  def bloomIntersect(k0: Long, k1: Long): (Column, Column) => Column = {
+    val f = udf { (a: Array[Byte], b: Array[Byte]) =>
+      val (cfgA, wa, tagA) = BlockedBloom.fromBytes(k0, k1, a)
+      val (cfgB, wb, tagB) = BlockedBloom.fromBytes(k0, k1, b)
+      require(cfgA.k == cfgB.k && tagA == tagB && cfgA.hash64Enough == cfgB.hash64Enough,
+        "bloom_intersect: incompatible filters")
+      val target = math.min(cfgA.log2l, cfgB.log2l)
+      val fa = if (cfgA.log2l == target) wa else BlockedBloom.fold(wa, target)
+      val fb = if (cfgB.log2l == target) wb else BlockedBloom.fold(wb, target)
+      val cfg = if (cfgA.log2l == target) cfgA else cfgB
+      BlockedBloom.toBytes(BlockedBloom.intersectInPlace(fa, fb), cfg, tagA)
+    }
+    (a, b) => f(a, b)
+  }
+
   /** `hll_estimate(sketch)` -> double. */
   val hllEstimate: Column => Column = {
     val f = udf { (bytes: Array[Byte]) =>

@@ -129,10 +129,60 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
     copy(left = newLeft, right = newRight)
 }
 
+/** Native scalar `graft_sip_hash64(elem [, k0, k1])` — the library's keyed
+  * hash exposed to SQL (reference `siphash64`, `Internal.hs:395`); useful
+  * for bucketing/salting expressions that must agree with sketch contents. */
+case class SipHash64Expr(child: Expression, k0: Long, k1: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sip_hash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType | LongType | StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"type $t not supported (int/bigint/string/binary)")
+  }
+
+  def hashInt(x: Int): Long = SipHash.hashInt(k0, k1, x)
+  def hashLong(x: Long): Long = SipHash.hashLong(k0, k1, x)
+  def hashUTF8(s: UTF8String): Long = SipHash.hash64(k0, k1, s.getBytes)
+  def hashBytes(b: Array[Byte]): Long = SipHash.hash64(k0, k1, b)
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case IntegerType => hashInt(v.asInstanceOf[Int])
+    case LongType => hashLong(v.asInstanceOf[Long])
+    case StringType => hashUTF8(v.asInstanceOf[UTF8String])
+    case BinaryType => hashBytes(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("sipExpr", this, classOf[SipHash64Expr].getName)
+    val m = child.dataType match {
+      case IntegerType => "hashInt"
+      case LongType => "hashLong"
+      case StringType => "hashUTF8"
+      case BinaryType => "hashBytes"
+    }
+    defineCodeGen(ctx, ev, c => s"$selfRef.$m($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL/Column registration for the native expressions. */
 object GraftFunctions {
 
   val BloomMightContainName = "graft_bloom_might_contain"
+  val SipHash64Name = "graft_sip_hash64"
+
+  private[plans] def sipBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(e) => SipHash64Expr(e, Keys.DefaultK0, Keys.DefaultK1)
+    case Seq(e, Literal(kk0: Long, LongType), Literal(kk1: Long, LongType)) =>
+      SipHash64Expr(e, kk0, kk1)
+    case _ => throw new IllegalArgumentException(
+      s"$SipHash64Name expects (elem [, k0 BIGINT, k1 BIGINT])")
+  }
 
   private[plans] def builder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, e) => BloomMightContain(s, e, Keys.DefaultK0, Keys.DefaultK1)
@@ -143,13 +193,19 @@ object GraftFunctions {
   }
 
   /** Register on an existing session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomMightContainName, builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SipHash64Name, sipBuilder, "built-in")
+  }
 
-  /** Column-API entry point (requires `register(spark)` once per session). */
+  /** Column-API entry points (require `register(spark)` once per session). */
   def bloomMightContain(sketch: Column, elem: Column): Column =
     org.apache.spark.sql.functions.call_function(BloomMightContainName, sketch, elem)
+
+  def sipHash64(elem: Column): Column =
+    org.apache.spark.sql.functions.call_function(SipHash64Name, elem)
 }
 
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injection. */
@@ -159,5 +215,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.BloomMightContainName),
       new ExpressionInfo(classOf[BloomMightContain].getName, GraftFunctions.BloomMightContainName),
       exprs => GraftFunctions.builder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.SipHash64Name),
+      new ExpressionInfo(classOf[SipHash64Expr].getName, GraftFunctions.SipHash64Name),
+      exprs => GraftFunctions.sipBuilder(exprs)))
   }
 }

@@ -136,6 +136,21 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(td.quantile(q) / n - q) <= 0.04)
   }
 
+  test("fused agg output is byte-identical to the three individual aggregators") {
+    val hllP = 12
+    val cms = SketchQueries.cmsCfg
+    val enc = ExpressionEncoder[Array[Int]]()
+    val df = tokenDf(800, 5)
+    val fusedU = udaf(new FusedTokensAgg(cfg, hllP, cms), enc)
+    val fused = df.agg(fusedU(col("tokens")).as("sk")).select("sk.bloom", "sk.hll", "sk.cms").head()
+    val bloom = df.agg(udaf(new BloomTokensAgg(cfg), enc)(col("tokens"))).head().getAs[Array[Byte]](0)
+    val hll = df.agg(udaf(new HllTokensAgg(K0, K1, hllP), enc)(col("tokens"))).head().getAs[Array[Byte]](0)
+    val cmsB = df.agg(udaf(new CmsTokensAgg(cms), enc)(col("tokens"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(fused.getAs[Array[Byte]](0), bloom), "fused bloom differs")
+    assert(java.util.Arrays.equals(fused.getAs[Array[Byte]](1), hll), "fused hll differs")
+    assert(java.util.Arrays.equals(fused.getAs[Array[Byte]](2), cmsB), "fused cms differs")
+  }
+
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
     val dir = "/root/testdata/sf0.001"
     val a = Tokens.table(spark, dir).orderBy("doc_id").collect()

@@ -86,6 +86,22 @@ class BloomMightContainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byToken(None) === None, "null element must yield null, not false")
   }
 
+  test("graft_sip_hash64 expression agrees with the core SipHash") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = spark.range(1, 100)
+      .select(col("id").cast("int").as("x"))
+      .withColumn("h", GraftFunctions.sipHash64(col("x")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === graft.core.SipHash.hashInt(Keys.DefaultK0, Keys.DefaultK1, r.getInt(0)))
+    }
+    // string + SQL path with explicit key
+    Seq("alpha").toDF("s").createOrReplaceTempView("sip_t")
+    val h = spark.sql("SELECT graft_sip_hash64(s, 7L, 9L) FROM sip_t").head().getLong(0)
+    assert(h === graft.core.SipHash.hashString(7L, 9L, "alpha"))
+  }
+
   test("long and string element types") {
     import spark.implicits._
     GraftFunctions.register(spark)
