@@ -192,12 +192,30 @@ object GraftFunctions {
       s"$BloomMightContainName expects (sketch BINARY, elem, [k0 BIGINT, k1 BIGINT])")
   }
 
-  /** Register on an existing session (tests, notebooks). */
+  /** Register expressions AND the sketch UDAFs on an existing session, so
+    * the whole library is reachable from pure SQL:
+    * `SELECT source, graft_hll_estimate(graft_hll_tokens(tokens)) FROM t GROUP BY source`. */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.functions.{udaf, udf}
+    import graft.core.{BloomConfig, CmsConfig, Hll}
+    import graft.operators.SketchAggs._
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomMightContainName, builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SipHash64Name, sipBuilder, "built-in")
+    val tokensEnc = ExpressionEncoder[Array[Int]]()
+    val bloomCfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 12)
+    val cmsCfg = CmsConfig(Keys.DefaultK0, Keys.DefaultK1, 5, 11)
+    spark.udf.register("graft_bloom_tokens", udaf(new BloomTokensAgg(bloomCfg), tokensEnc))
+    spark.udf.register("graft_hll_tokens", udaf(new HllTokensAgg(Keys.DefaultK0, Keys.DefaultK1, 12), tokensEnc))
+    spark.udf.register("graft_cms_tokens", udaf(new CmsTokensAgg(cmsCfg), tokensEnc))
+    spark.udf.register("graft_kll", udaf(new KllDoubleAgg(200), ExpressionEncoder[Double]()))
+    spark.udf.register("graft_tdigest", udaf(new TDigestDoubleAgg(100), ExpressionEncoder[Double]()))
+    spark.udf.register("graft_bloom_merge", udaf(new BloomMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_hll_estimate", udf((b: Array[Byte]) => Hll.estimate(Hll.fromBytes(b)._2)))
+    spark.udf.register("graft_kll_quantile", udf((b: Array[Byte], q: Double) => graft.core.Kll.fromBytes(b).quantile(q)))
+    spark.udf.register("graft_tdigest_quantile", udf((b: Array[Byte], q: Double) => graft.core.TDigest.fromBytes(b).quantile(q)))
   }
 
   /** Column-API entry points (require `register(spark)` once per session). */

@@ -86,6 +86,36 @@ class BloomMightContainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byToken(None) === None, "null element must yield null, not false")
   }
 
+  test("pure-SQL end-to-end: build sketches and query them without any Scala API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    (0 until 1000).map(i => (s"src${i % 2}", Array(i, i + 5000)))
+      .toDF("source", "tokens").createOrReplaceTempView("sql_tokens")
+    val rows = spark.sql(
+      """SELECT source,
+        |       graft_hll_estimate(graft_hll_tokens(tokens)) AS est,
+        |       graft_bloom_tokens(tokens) AS sk
+        |FROM sql_tokens GROUP BY source""".stripMargin).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1000.0) < 60.0, s"SQL HLL estimate ${r.getDouble(1)}")
+      assert(r.getAs[Array[Byte]](2).nonEmpty)
+    }
+    // probe the SQL-built sketch through SQL
+    spark.sql("SELECT source, graft_bloom_tokens(tokens) AS sk FROM sql_tokens GROUP BY source")
+      .createOrReplaceTempView("sql_sketches")
+    val missing = spark.sql(
+      """SELECT count(*) FROM (SELECT t.source, explode(t.tokens) AS tok, s.sk
+        |FROM sql_tokens t JOIN sql_sketches s ON t.source = s.source) x
+        |WHERE NOT graft_bloom_might_contain(sk, tok)""".stripMargin).head().getLong(0)
+    assert(missing === 0L, "false negative through the pure-SQL path")
+    // quantiles through SQL
+    val med = spark.sql(
+      "SELECT graft_kll_quantile(graft_kll(CAST(size(tokens) AS DOUBLE)), 0.5) FROM sql_tokens")
+      .head().getDouble(0)
+    assert(med === 2.0)
+  }
+
   test("graft_sip_hash64 expression agrees with the core SipHash") {
     import spark.implicits._
     GraftFunctions.register(spark)
