@@ -217,6 +217,63 @@ object SipHash {
   def hash128Int(k0: Long, k1: Long, x: Int): (Long, Long) =
     hash128Short(k0, k1, 0L, 0, (4L << 56) | (x.toLong & 0xffffffffL))
 
+  /** Allocation-free variant of [[hash128Int]]: writes (hi, lo) into
+    * `out(0)`, `out(1)`. The tuple-returning form allocates per call
+    * (hash128Short is too large for the JIT to inline, so escape analysis
+    * cannot elide the Tuple2) — at 10^9 tokens that is 10^9 allocations in
+    * the hot aggregation loop. */
+  def hash128IntInto(k0: Long, k1: Long, x: Int, out: Array[Long]): Unit =
+    hash128ShortInto(k0, k1, 0L, 0, (4L << 56) | (x.toLong & 0xffffffffL), out)
+
+  private def hash128ShortInto(k0: Long, k1: Long, m0: Long, nBlocks: Int, b: Long, out: Array[Long]): Unit = {
+    var v0 = k0 ^ 0x736f6d6570736575L
+    var v1 = k1 ^ 0x646f72616e646f6dL ^ 0xee
+    var v2 = k0 ^ 0x6c7967656e657261L
+    var v3 = k1 ^ 0x7465646279746573L
+    if (nBlocks == 1) {
+      v3 ^= m0
+      var r = 0
+      while (r < 2) {
+        v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+        v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+        v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+        v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+        r += 1
+      }
+      v0 ^= m0
+    }
+    v3 ^= b
+    var r = 0
+    while (r < 2) {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+      r += 1
+    }
+    v0 ^= b
+    v2 ^= 0xee
+    r = 0
+    while (r < 4) {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+      r += 1
+    }
+    out(1) = v0 ^ v1 ^ v2 ^ v3 // lo
+    v1 ^= 0xdd
+    r = 0
+    while (r < 4) {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+      r += 1
+    }
+    out(0) = v0 ^ v1 ^ v2 ^ v3 // hi
+  }
+
   /** 128-bit hash of a Long (canonical 8-byte LE encoding). */
   def hash128Long(k0: Long, k1: Long, x: Long): (Long, Long) =
     hash128Short(k0, k1, x, 1, 8L << 56)

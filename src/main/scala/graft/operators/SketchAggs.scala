@@ -172,8 +172,13 @@ object SketchAggs {
     override def zero: Array[Long] = CountMin.empty(cfg)
     override def reduce(buf: Array[Long], tokens: Array[Int]): Array[Long] = {
       if (tokens != null) {
+        val scratch = new Array[Long](2) // one alloc per row, not per token
         var i = 0
-        while (i < tokens.length) { CountMin.addInt(buf, cfg, tokens(i)); i += 1 }
+        while (i < tokens.length) {
+          SipHash.hash128IntInto(cfg.k0, cfg.k1, tokens(i), scratch)
+          CountMin.addHash(buf, cfg, scratch(1), scratch(0) | 1L)
+          i += 1
+        }
       }
       buf
     }
@@ -230,14 +235,15 @@ object SketchAggs {
 
     override def reduce(buf: FusedBuf, tokens: Array[Int]): FusedBuf = {
       if (tokens != null) {
+        val scratch = new Array[Long](2) // one alloc per row, not per token
         var i = 0
         while (i < tokens.length) {
           val t = tokens(i)
           val h64 = SipHash.hashInt(k0, k1, t)
           BlockedBloom.insertHash64(buf.bloom, bloomCfg, h64)
           Hll.addHash(buf.hll, hllP, h64)
-          val (hi, lo) = SipHash.hash128Int(k0, k1, t)
-          CountMin.addHash(buf.cms, cmsCfg, lo, hi | 1L)
+          SipHash.hash128IntInto(k0, k1, t, scratch)
+          CountMin.addHash(buf.cms, cmsCfg, scratch(1), scratch(0) | 1L)
           i += 1
         }
       }

@@ -52,6 +52,17 @@ class SipHashSpec extends AnyFunSuite {
     }
   }
 
+  test("hash128IntInto agrees with the tuple-returning hash128Int") {
+    val rnd = new scala.util.Random(45)
+    val out = new Array[Long](2)
+    for (_ <- 0 until 2000) {
+      val x = rnd.nextInt()
+      val (hi, lo) = SipHash.hash128Int(k0, k1, x)
+      SipHash.hash128IntInto(k0, k1, x, out)
+      assert(out(0) === hi && out(1) === lo)
+    }
+  }
+
   test("hash64 over long arbitrary byte arrays is deterministic and length-sensitive") {
     val rnd = new scala.util.Random(44)
     for (_ <- 0 until 200) {
