@@ -46,13 +46,13 @@ object Bench {
   }
 
   /** The flagship sketch-build job: per-source Bloom + HLL + CMS in ONE
-    * pass via the fused aggregator (one input decode + two hashes per
-    * token). Returns the global (merged) bloom bytes for the FPR check. */
+    * pass via the native fused TypedImperativeAggregate (ArrayData read in
+    * place — no per-row decode — one shared 64-bit hash + one 128-bit hash
+    * per token). Returns the global (merged) bloom bytes for the FPR check. */
   private def buildSketches(spark: SparkSession, df: DataFrame, cfg: BloomConfig): Array[Byte] = {
-    val fusedU = udaf(
-      new FusedTokensAgg(cfg, 12, CmsConfig(SketchQueries.K0, SketchQueries.K1, 5, 11)),
-      ExpressionEncoder[Array[Int]]())
-    val perSource = df.groupBy(col("source")).agg(fusedU(col("tokens")).as("sk"))
+    graft.plans.NativeAggs.register(spark, bloomK = cfg.k, bloomLog2l = cfg.log2l)
+    val perSource = df.groupBy(col("source"))
+      .agg(graft.plans.NativeAggs.fusedTokensNative(col("tokens")).as("sk"))
     val mergeU = udaf(new BloomMergeAgg(SketchQueries.K0, SketchQueries.K1), ExpressionEncoder[Array[Byte]]())
     perSource.agg(mergeU(col("sk.bloom"))).head().getAs[Array[Byte]](0)
   }

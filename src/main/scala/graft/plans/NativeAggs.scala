@@ -1,0 +1,208 @@
+package graft.plans
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** Native Catalyst aggregates over `tokens: array<int>` columns.
+  *
+  * The `functions.udaf` wrapper pays a per-row decode: Catalyst's
+  * `ArrayData` is deserialized into a fresh JVM `Array[Int]` before
+  * `Aggregator.reduce` sees it. These `TypedImperativeAggregate`s read the
+  * `ArrayData` in place (`getInt(i)` on the unsafe array backed by the
+  * columnar batch) — no per-row allocation or copy, the tightest build
+  * loop Spark's aggregation framework allows without custom codegen.
+  * Outputs are byte-identical to the udaf-based aggregators (tested), so
+  * the two surfaces interoperate freely.
+  */
+abstract class TokensAggBase[B] extends TypedImperativeAggregate[B] with UnaryLike[Expression] {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<int>, got $t")
+    }
+  override def nullable: Boolean = false
+}
+
+/** `graft_bloom_tokens_native(tokens)` -> serialized blocked Bloom filter. */
+case class BloomTokensNative(
+    child: Expression,
+    k: Int, log2l: Int, k0: Long, k1: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends TokensAggBase[Array[Long]] {
+
+  @transient private lazy val cfg = BloomConfig(k0, k1, k, log2l)
+
+  override def prettyName: String = "graft_bloom_tokens_native"
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](1 << log2l)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) BlockedBloom.insertInt(buf, cfg, a.getInt(i))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    BlockedBloom.unionInPlace(b1, b2)
+
+  override def eval(buf: Array[Long]): Any =
+    BlockedBloom.toBytes(buf, cfg, BlockedBloom.TypeTag.Int)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomTokensNative =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomTokensNative =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomTokensNative =
+    copy(child = newChild)
+}
+
+/** Mutable fused buffer (bloom words + hll registers + cms counters). */
+final class FusedNativeBuf(val bloom: Array[Long], val hll: Array[Byte], val cms: Array[Long], val scratch: Array[Long])
+
+/** `graft_fused_tokens_native(tokens)` -> struct(bloom, hll, cms) binaries.
+  * One ArrayData read + two hashes per token; the flagship build kernel. */
+case class FusedTokensNative(
+    child: Expression,
+    k: Int, log2l: Int, hllP: Int, cmsDepth: Int, cmsLog2Width: Int, k0: Long, k1: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends TokensAggBase[FusedNativeBuf] {
+
+  @transient private lazy val bloomCfg = BloomConfig(k0, k1, k, log2l)
+  @transient private lazy val cmsCfg = CmsConfig(k0, k1, cmsDepth, cmsLog2Width)
+
+  override def prettyName: String = "graft_fused_tokens_native"
+  override def dataType: DataType = StructType(Seq(
+    StructField("bloom", BinaryType, nullable = false),
+    StructField("hll", BinaryType, nullable = false),
+    StructField("cms", BinaryType, nullable = false)))
+
+  override def createAggregationBuffer(): FusedNativeBuf =
+    new FusedNativeBuf(new Array[Long](1 << log2l), Hll.empty(hllP),
+      CountMin.empty(cmsCfg), new Array[Long](2))
+
+  override def update(buf: FusedNativeBuf, input: InternalRow): FusedNativeBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val t = a.getInt(i)
+          val h64 = SipHash.hashInt(k0, k1, t)
+          BlockedBloom.insertHash64(buf.bloom, bloomCfg, h64)
+          Hll.addHash(buf.hll, hllP, h64)
+          SipHash.hash128IntInto(k0, k1, t, buf.scratch)
+          CountMin.addHash(buf.cms, cmsCfg, buf.scratch(1), buf.scratch(0) | 1L)
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: FusedNativeBuf, b2: FusedNativeBuf): FusedNativeBuf = {
+    BlockedBloom.unionInPlace(b1.bloom, b2.bloom)
+    Hll.merge(b1.hll, b2.hll)
+    CountMin.merge(b1.cms, b2.cms)
+    b1
+  }
+
+  override def eval(buf: FusedNativeBuf): Any =
+    InternalRow(
+      BlockedBloom.toBytes(buf.bloom, bloomCfg, BlockedBloom.TypeTag.Int),
+      Hll.toBytes(buf.hll, hllP, BlockedBloom.TypeTag.Int, SipHash.hashLong(k0, k1, k0 ^ k1)),
+      CountMin.toBytes(buf.cms, cmsCfg, BlockedBloom.TypeTag.Int))
+
+  override def serialize(buf: FusedNativeBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * buf.bloom.length + buf.hll.length + 8 * buf.cms.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(buf.bloom.length).putInt(buf.cms.length)
+    bb.asLongBuffer().put(buf.bloom)
+    bb.position(bb.position() + 8 * buf.bloom.length)
+    bb.put(buf.hll)
+    bb.asLongBuffer().put(buf.cms)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FusedNativeBuf = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nBloom = bb.getInt()
+    val nCms = bb.getInt()
+    val bloom = new Array[Long](nBloom)
+    bb.asLongBuffer().get(bloom)
+    bb.position(bb.position() + 8 * nBloom)
+    val hll = new Array[Byte](bytes.length - 8 - 8 * nBloom - 8 * nCms)
+    bb.get(hll)
+    val cms = new Array[Long](nCms)
+    bb.asLongBuffer().get(cms)
+    new FusedNativeBuf(bloom, hll, cms, new Array[Long](2))
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FusedTokensNative =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FusedTokensNative =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FusedTokensNative =
+    copy(child = newChild)
+}
+
+/** Registration of the native aggregates (SQL + call_function Column API). */
+object NativeAggs {
+  import graft.core.Keys
+
+  val BloomName = "graft_bloom_tokens_native"
+  val FusedName = "graft_fused_tokens_native"
+
+  def register(spark: org.apache.spark.sql.SparkSession,
+      bloomK: Int = 3, bloomLog2l: Int = 12, hllP: Int = 12,
+      cmsDepth: Int = 5, cmsLog2Width: Int = 11,
+      k0: Long = Keys.DefaultK0, k1: Long = Keys.DefaultK1): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomName,
+      exprs => BloomTokensNative(exprs.head, bloomK, bloomLog2l, k0, k1).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FusedName,
+      exprs => FusedTokensNative(exprs.head, bloomK, bloomLog2l, hllP, cmsDepth, cmsLog2Width, k0, k1)
+        .toAggregateExpression(),
+      "built-in")
+  }
+
+  def bloomTokensNative(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(BloomName, tokens)
+
+  def fusedTokensNative(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(FusedName, tokens)
+}

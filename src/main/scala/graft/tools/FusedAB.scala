@@ -36,8 +36,16 @@ object FusedAB {
       val b = udaf(new BloomTokensAgg(cfg), enc)
       df.groupBy(col("source")).agg(b(col("tokens"))).collect()
     }
-    separate(); fused(); bloomOnly() // warm all
-    for (_ <- 1 to 2) { t("separate")(separate()); t("fused")(fused()); t("bloomOnly")(bloomOnly()) }
+    graft.plans.NativeAggs.register(spark, bloomK = 3, bloomLog2l = 14)
+    def nativeBloom(): Unit =
+      df.groupBy(col("source")).agg(graft.plans.NativeAggs.bloomTokensNative(col("tokens"))).collect()
+    def nativeFused(): Unit =
+      df.groupBy(col("source")).agg(graft.plans.NativeAggs.fusedTokensNative(col("tokens"))).collect()
+    separate(); fused(); bloomOnly(); nativeBloom(); nativeFused() // warm all
+    for (_ <- 1 to 2) {
+      t("separate")(separate()); t("fused")(fused()); t("bloomOnly")(bloomOnly())
+      t("nativeBloom")(nativeBloom()); t("nativeFused")(nativeFused())
+    }
     spark.stop()
   }
 }

@@ -151,6 +151,29 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(fused.getAs[Array[Byte]](2), cmsB), "fused cms differs")
   }
 
+  test("native TypedImperativeAggregates are byte-identical to the udaf aggregators") {
+    val enc = ExpressionEncoder[Array[Int]]()
+    val df = tokenDf(800, 5)
+    graft.plans.NativeAggs.register(spark, bloomK = cfg.k, bloomLog2l = cfg.log2l)
+    val udafBloom = df.agg(udaf(new BloomTokensAgg(cfg), enc)(col("tokens"))).head().getAs[Array[Byte]](0)
+    val nativeBloom = df.agg(graft.plans.NativeAggs.bloomTokensNative(col("tokens"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(nativeBloom, udafBloom), "native bloom differs from udaf bloom")
+    val fusedU = udaf(new FusedTokensAgg(cfg, 12, SketchQueries.cmsCfg), enc)
+    val udafFused = df.agg(fusedU(col("tokens")).as("sk")).select("sk.bloom", "sk.hll", "sk.cms").head()
+    val nativeFused = df.agg(graft.plans.NativeAggs.fusedTokensNative(col("tokens")).as("sk"))
+      .select("sk.bloom", "sk.hll", "sk.cms").head()
+    for (i <- 0 until 3)
+      assert(java.util.Arrays.equals(
+        nativeFused.getAs[Array[Byte]](i), udafFused.getAs[Array[Byte]](i)),
+        s"native fused field $i differs")
+    // shuffle-path (serialize/deserialize of the native buffer) exercised
+    val repart = df.repartition(9).groupBy(col("source"))
+      .agg(graft.plans.NativeAggs.bloomTokensNative(col("tokens")).as("sk"))
+      .agg(udaf(new BloomMergeAgg(K0, K1), ExpressionEncoder[Array[Byte]]())(col("sk")))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(repart, udafBloom))
+  }
+
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
     val dir = "/root/testdata/sf0.001"
     val a = Tokens.table(spark, dir).orderBy("doc_id").collect()
