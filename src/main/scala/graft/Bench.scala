@@ -50,7 +50,8 @@ object Bench {
     * place — no per-row decode — one shared 64-bit hash + one 128-bit hash
     * per token). Returns the global (merged) bloom bytes for the FPR check. */
   private def buildSketches(spark: SparkSession, df: DataFrame, cfg: BloomConfig): Array[Byte] = {
-    graft.plans.NativeAggs.register(spark, bloomK = cfg.k, bloomLog2l = cfg.log2l)
+    graft.plans.NativeAggs.register(spark, bloomK = cfg.k, bloomLog2l = cfg.log2l,
+      k0 = SketchQueries.K0, k1 = SketchQueries.K1)
     val perSource = df.groupBy(col("source"))
       .agg(graft.plans.NativeAggs.fusedTokensNative(col("tokens")).as("sk"))
     val mergeU = udaf(new BloomMergeAgg(SketchQueries.K0, SketchQueries.K1), ExpressionEncoder[Array[Byte]]())

@@ -26,9 +26,9 @@ import graft.sources.Tokens
 object SketchQueries {
 
   // fixed SipKey for the whole query surface (any fixed key works; the
-  // reference's SipKey analogue)
-  val K0 = 0x5eedf00ddeadbeefL
-  val K1 = 0x0123456789abcdefL
+  // reference's SipKey analogue) — single source of truth in core.Keys
+  val K0: Long = graft.core.Keys.DefaultK0
+  val K1: Long = graft.core.Keys.DefaultK1
 
   val bloomCfg: BloomConfig = BloomConfig(K0, K1, k = 3, log2l = 10)
   val hllP = 12

@@ -53,9 +53,21 @@ case class BloomTokensNative(
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
       var i = 0
-      while (i < n) {
-        if (!a.isNullAt(i)) BlockedBloom.insertInt(buf, cfg, a.getInt(i))
-        i += 1
+      if (cfg.hash64Enough) {
+        while (i < n) {
+          if (!a.isNullAt(i))
+            BlockedBloom.insertHash64(buf, cfg, SipHash.hashInt(k0, k1, a.getInt(i)))
+          i += 1
+        }
+      } else {
+        val scratch = new Array[Long](2) // allocation-free 128-bit path
+        while (i < n) {
+          if (!a.isNullAt(i)) {
+            SipHash.hash128IntInto(k0, k1, a.getInt(i), scratch)
+            BlockedBloom.insertHash128(buf, cfg, scratch(0), scratch(1))
+          }
+          i += 1
+        }
       }
     }
     buf
@@ -97,6 +109,10 @@ case class FusedTokensNative(
     k: Int, log2l: Int, hllP: Int, cmsDepth: Int, cmsLog2Width: Int, k0: Long, k1: Long,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends TokensAggBase[FusedNativeBuf] {
+
+  require(6 * k + log2l <= 64,
+    "FusedTokensNative requires a 64-bit-hash bloom config (6k + log2l <= 64); " +
+      "use BloomTokensNative / the individual aggregators for larger configs")
 
   @transient private lazy val bloomCfg = BloomConfig(k0, k1, k, log2l)
   @transient private lazy val cmsCfg = CmsConfig(k0, k1, cmsDepth, cmsLog2Width)
@@ -178,7 +194,14 @@ case class FusedTokensNative(
     copy(child = newChild)
 }
 
-/** Registration of the native aggregates (SQL + call_function Column API). */
+/** Registration of the native aggregates (SQL + call_function Column API).
+  *
+  * NOTE: registration is session-global and last-wins — a second
+  * `register` on the same session rebinds the function names to the new
+  * sketch parameters. Components sharing a session and needing different
+  * configs should pass them per call:
+  * `graft_bloom_tokens_native(tokens, k, log2l)`.
+  */
 object NativeAggs {
   import graft.core.Keys
 
@@ -186,17 +209,33 @@ object NativeAggs {
   val FusedName = "graft_fused_tokens_native"
 
   def register(spark: org.apache.spark.sql.SparkSession,
-      bloomK: Int = 3, bloomLog2l: Int = 12, hllP: Int = 12,
-      cmsDepth: Int = 5, cmsLog2Width: Int = 11,
+      bloomK: Int = graft.SketchQueries.bloomCfg.k,
+      bloomLog2l: Int = graft.SketchQueries.bloomCfg.log2l,
+      hllP: Int = graft.SketchQueries.hllP,
+      cmsDepth: Int = graft.SketchQueries.cmsCfg.depth,
+      cmsLog2Width: Int = graft.SketchQueries.cmsCfg.log2Width,
       k0: Long = Keys.DefaultK0, k1: Long = Keys.DefaultK1): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomName,
-      exprs => BloomTokensNative(exprs.head, bloomK, bloomLog2l, k0, k1).toAggregateExpression(),
+      {
+        case Seq(e) => BloomTokensNative(e, bloomK, bloomLog2l, k0, k1).toAggregateExpression()
+        case Seq(e, Literal(kk: Int, IntegerType), Literal(ll: Int, IntegerType)) =>
+          BloomTokensNative(e, kk, ll, k0, k1).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"$BloomName expects (tokens array<int>) or (tokens, k INT, log2l INT); got ${other.length} arguments")
+      },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FusedName,
-      exprs => FusedTokensNative(exprs.head, bloomK, bloomLog2l, hllP, cmsDepth, cmsLog2Width, k0, k1)
-        .toAggregateExpression(),
+      {
+        case Seq(e) =>
+          FusedTokensNative(e, bloomK, bloomLog2l, hllP, cmsDepth, cmsLog2Width, k0, k1)
+            .toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"$FusedName expects exactly (tokens array<int>); got ${other.length} arguments")
+      },
       "built-in")
   }
 

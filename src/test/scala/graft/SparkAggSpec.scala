@@ -174,6 +174,30 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(repart, udafBloom))
   }
 
+  test("native aggs: 128-bit-config bloom matches udaf; fused rejects >64-bit configs; SQL arity errors") {
+    val enc = ExpressionEncoder[Array[Int]]()
+    val df = tokenDf(400, 3)
+    // 6*13 + 10 = 88 > 64: 128-bit hash path through the native agg
+    val cfg128 = BloomConfig(K0, K1, 13, 10)
+    graft.plans.NativeAggs.register(spark, bloomK = 13, bloomLog2l = 10)
+    val nat = df.agg(graft.plans.NativeAggs.bloomTokensNative(col("tokens"))).head().getAs[Array[Byte]](0)
+    val ud = df.agg(udaf(new BloomTokensAgg(cfg128), enc)(col("tokens"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(nat, ud), "128-bit native bloom differs from udaf")
+    // fused must refuse a config whose bloom needs the 128-bit hash
+    assertThrows[IllegalArgumentException](
+      graft.plans.FusedTokensNative(org.apache.spark.sql.catalyst.expressions.Literal(null),
+        13, 10, 12, 5, 11, K0, K1))
+    // SQL arity misuse fails with a named error, not NoSuchElementException
+    df.createOrReplaceTempView("native_arity_t")
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_fused_tokens_native(tokens, n_tok) FROM native_arity_t").collect())
+    assert(e.getMessage.contains("graft_fused_tokens_native") || e.getCause != null)
+    // per-call bloom params through SQL
+    val perCall = spark.sql(
+      "SELECT graft_bloom_tokens_native(tokens, 13, 10) FROM native_arity_t").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(perCall, ud), "per-call (k, log2l) SQL args ignored")
+  }
+
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
     val dir = "/root/testdata/sf0.001"
     val a = Tokens.table(spark, dir).orderBy("doc_id").collect()
