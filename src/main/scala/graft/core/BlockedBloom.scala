@@ -25,8 +25,9 @@ import java.nio.{ByteBuffer, ByteOrder}
 final case class BloomConfig(k0: Long, k1: Long, k: Int, log2l: Int) {
   if (k < 1)
     throw BloomConfig.invalid(s"k must be >= 1, got $k")
-  if (log2l < 0 || log2l > 28)
-    throw BloomConfig.invalid(s"log2l must be in [0, 28] (JVM array cap), got $log2l")
+  if (log2l < 0 || log2l > 27)
+    throw BloomConfig.invalid(
+      s"log2l must be in [0, 27] (8*2^28+64 overflows the JVM byte-array limit), got $log2l")
   if (6 * k + log2l > 128)
     throw BloomConfig.invalid(s"6*k + log2l must be <= 128, got ${6 * k + log2l}")
 
@@ -185,6 +186,7 @@ object BlockedBloom {
     * Enables union/intersection of filters built at different sizes.
     */
   def fold(words: Array[Long], newLog2l: Int): Array[Long] = {
+    require(newLog2l >= 0 && newLog2l <= 27, s"fold: invalid log2l $newLog2l")
     val lNew = 1 << newLog2l
     require(lNew <= words.length, s"fold: cannot grow ${words.length} -> $lNew")
     val out = new Array[Long](lNew)

@@ -22,6 +22,8 @@ import java.nio.{ByteBuffer, ByteOrder}
 final case class CmsConfig(k0: Long, k1: Long, depth: Int, log2Width: Int) {
   require(depth >= 1 && depth <= 12, s"CMS depth must be in [1,12], got $depth")
   require(log2Width >= 2 && log2Width <= 26, s"CMS log2Width must be in [2,26], got $log2Width")
+  require(depth.toLong * (1L << log2Width) + 1L <= ((Int.MaxValue - 48) / 8).toLong,
+    s"CMS depth*width too large to serialize (depth=$depth, log2Width=$log2Width)")
   val width: Int = 1 << log2Width
   val widthMask: Long = (width - 1).toLong
   def epsilon: Double = math.E / width
@@ -110,20 +112,30 @@ object CountMin {
     bb.array()
   }
 
-  /** Returns (depth, log2Width, counters, typeTag). */
-  def fromBytes(bytes: Array[Byte]): (Int, Int, Array[Long], Long) = {
+  /** Returns (depth, log2Width, counters, typeTag, keyHash). Validates the
+    * header ranges (a corrupted depth/log2Width must fail loudly, not
+    * overflow); callers merging sketches must require equal keyHash. */
+  def fromBytesFull(bytes: Array[Byte]): (Int, Int, Array[Long], Long, Long) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val version = bb.getLong()
     require(version == SerialVersion, s"CMS serialized version $version")
     val typeTag = bb.getLong()
-    bb.getLong() // keyHash
+    val keyHash = bb.getLong()
     val depth = bb.getLong().toInt
     val log2Width = bb.getLong().toInt
+    require(depth >= 1 && depth <= 12, s"CMS serialized depth $depth out of [1,12]")
+    require(log2Width >= 2 && log2Width <= 26, s"CMS serialized log2Width $log2Width out of [2,26]")
     val n = depth * (1 << log2Width) + 1
     require(bytes.length == 40 + 8 * n, s"CMS serialized size ${bytes.length}")
     val buf = new Array[Long](n)
     var i = 0
     while (i < n) { buf(i) = bb.getLong(); i += 1 }
-    (depth, log2Width, buf, typeTag)
+    (depth, log2Width, buf, typeTag, keyHash)
+  }
+
+  /** Returns (depth, log2Width, counters, typeTag). */
+  def fromBytes(bytes: Array[Byte]): (Int, Int, Array[Long], Long) = {
+    val (d, w, buf, tag, _) = fromBytesFull(bytes)
+    (d, w, buf, tag)
   }
 }

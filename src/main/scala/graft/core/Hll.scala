@@ -81,17 +81,25 @@ object Hll {
     bb.array()
   }
 
-  /** Returns (p, registers, typeTag). Validates version and size. */
-  def fromBytes(bytes: Array[Byte]): (Int, Array[Byte], Long) = {
+  /** Returns (p, registers, typeTag, keyHash). Validates version and size;
+    * callers merging sketches must also require equal keyHash — registers
+    * populated under different SipHash keys max-merge into garbage. */
+  def fromBytesFull(bytes: Array[Byte]): (Int, Array[Byte], Long, Long) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val version = bb.getLong()
     require(version == SerialVersion, s"HLL serialized version $version")
     val typeTag = bb.getLong()
-    bb.getLong() // keyHash (informational; HLL estimates don't need the key back)
+    val keyHash = bb.getLong()
     val p = bb.getLong().toInt
     require(bytes.length == 32 + numRegisters(p), s"HLL serialized size ${bytes.length} for p=$p")
     val regs = new Array[Byte](1 << p)
     bb.get(regs)
-    (p, regs, typeTag)
+    (p, regs, typeTag, keyHash)
+  }
+
+  /** Returns (p, registers, typeTag) — estimate-only callers. */
+  def fromBytes(bytes: Array[Byte]): (Int, Array[Byte], Long) = {
+    val (p, regs, tag, _) = fromBytesFull(bytes)
+    (p, regs, tag)
   }
 }

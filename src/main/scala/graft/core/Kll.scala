@@ -51,20 +51,11 @@ final class KllSketch(val k: Int) extends Serializable {
   private def totalCapacity: Int = { var s = 0; var h = 0; while (h < levels.length) { s += capacity(h); h += 1 }; s }
 
   private def compressIfNeeded(): Unit = {
+    // totalItems > totalCapacity implies some level exceeds its capacity,
+    // so the first-over-capacity scan always finds a target
     while (totalItems > totalCapacity) {
       var h = 0
-      while (h < levels.length && levels(h).length <= capacity(h)) h += 1
-      if (h == levels.length) {
-        // nothing individually over capacity but total is: compact fullest
-        var best = 0; var bestOver = Int.MinValue
-        var i = 0
-        while (i < levels.length) {
-          val over = levels(i).length - capacity(i)
-          if (over > bestOver) { bestOver = over; best = i }
-          i += 1
-        }
-        h = best
-      }
+      while (h < levels.length - 1 && levels(h).length <= capacity(h)) h += 1
       compactLevel(h)
     }
   }
@@ -137,8 +128,9 @@ final class KllSketch(val k: Int) extends Serializable {
 
   def toBytes: Array[Byte] = {
     val numItems = totalItems
-    val bb = ByteBuffer.allocate(8 * 4 + 4 * levels.length + 8 * numItems).order(ByteOrder.BIG_ENDIAN)
+    val bb = ByteBuffer.allocate(8 * 5 + 4 * levels.length + 8 * numItems).order(ByteOrder.BIG_ENDIAN)
     bb.putLong(Kll.SerialVersion).putLong(k.toLong).putLong(count).putLong(levels.length.toLong)
+    bb.putLong(rng) // compaction-offset state survives ser/de (resume/merge)
     levels.foreach(l => bb.putInt(l.length))
     levels.foreach(_.foreach(bb.putDouble))
     bb.array()
@@ -155,8 +147,10 @@ object Kll {
     val k = bb.getLong().toInt
     val count = bb.getLong()
     val nLevels = bb.getLong().toInt
+    val rng = bb.getLong()
     val sizes = Array.fill(nLevels)(bb.getInt())
     val s = new KllSketch(k)
+    s.rng = rng
     s.levels = ArrayBuffer.fill(nLevels)(ArrayBuffer.empty[Double])
     var h = 0
     while (h < nLevels) {

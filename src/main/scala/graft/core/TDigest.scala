@@ -23,12 +23,16 @@ final class TDigest(val compression: Double) extends Serializable {
   private[core] var bufMeans: ArrayBuffer[Double] = ArrayBuffer.empty
   private[core] var bufWeights: ArrayBuffer[Double] = ArrayBuffer.empty
   private[core] var total: Double = 0.0
+  private[core] var minV: Double = Double.PositiveInfinity
+  private[core] var maxV: Double = Double.NegativeInfinity
   private val bufLimit: Int = math.max(64, (5 * compression).toInt)
 
   def n: Double = total
 
   def add(x: Double, w: Double = 1.0): Unit = {
     bufMeans += x; bufWeights += w; total += w
+    if (x < minV) minV = x
+    if (x > maxV) maxV = x
     if (bufMeans.length >= bufLimit) flush()
   }
 
@@ -84,15 +88,22 @@ final class TDigest(val compression: Double) extends Serializable {
       i += 1
     }
     total += other.total
+    if (other.minV < minV) minV = other.minV
+    if (other.maxV > maxV) maxV = other.maxV
     flush()
     this
   }
 
-  /** Quantile estimate with linear interpolation between centroid centers. */
+  /** Quantile estimate with linear interpolation between centroid centers;
+    * tracked min/max anchor the extreme quantiles (a centroid mean is an
+    * average, so without them quantile(1.0) would under-report the max —
+    * the tails are exactly where the k1 scale function promises accuracy). */
   def quantile(q: Double): Double = {
     require(q >= 0.0 && q <= 1.0, s"quantile q=$q")
     flush()
     if (means.isEmpty) return Double.NaN
+    if (q == 0.0) return minV
+    if (q == 1.0) return maxV
     if (means.length == 1) return means(0)
     val target = q * total
     var cum = 0.0
@@ -100,7 +111,17 @@ final class TDigest(val compression: Double) extends Serializable {
     while (i < means.length) {
       val half = weights(i) / 2.0
       if (cum + half >= target || i == means.length - 1) {
-        if (i == 0) return means(0)
+        if (i == 0) {
+          // below the first centroid's center: interpolate from the minimum
+          val t = if (half == 0.0) 1.0 else math.min(1.0, math.max(0.0, target / half))
+          return minV + (means(0) - minV) * t
+        }
+        if (i == means.length - 1 && cum + half < target) {
+          // above the last centroid's center: interpolate toward the maximum
+          val rest = total - (cum + half)
+          val t = if (rest <= 0.0) 1.0 else math.min(1.0, (target - cum - half) / rest)
+          return means(i) + (maxV - means(i)) * t
+        }
         val prevHalf = weights(i - 1) / 2.0
         val prevCenter = cum - prevHalf
         val center = cum + half
@@ -110,7 +131,7 @@ final class TDigest(val compression: Double) extends Serializable {
       cum += weights(i)
       i += 1
     }
-    means.last
+    maxV
   }
 
   /** Estimated CDF at x (fraction of mass <= x), for rank-error checks. */
@@ -132,9 +153,10 @@ final class TDigest(val compression: Double) extends Serializable {
 
   def toBytes: Array[Byte] = {
     flush()
-    val bb = ByteBuffer.allocate(8 * 3 + 8 + 16 * means.length).order(ByteOrder.BIG_ENDIAN)
+    val bb = ByteBuffer.allocate(8 * 6 + 16 * means.length).order(ByteOrder.BIG_ENDIAN)
     bb.putLong(TDigest.SerialVersion)
     bb.putDouble(compression).putDouble(total)
+    bb.putDouble(minV).putDouble(maxV)
     bb.putLong(means.length.toLong)
     var i = 0
     while (i < means.length) { bb.putDouble(means(i)); bb.putDouble(weights(i)); i += 1 }
@@ -151,8 +173,12 @@ object TDigest {
     require(version == SerialVersion, s"t-digest serialized version $version")
     val compression = bb.getDouble()
     val total = bb.getDouble()
+    val minV = bb.getDouble()
+    val maxV = bb.getDouble()
     val nC = bb.getLong().toInt
     val d = new TDigest(compression)
+    d.minV = minV
+    d.maxV = maxV
     var i = 0
     while (i < nC) {
       val m = bb.getDouble(); val w = bb.getDouble()

@@ -137,10 +137,11 @@ final class HllBytesMergeAgg extends org.apache.spark.sql.expressions.Aggregator
   private def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val (p1, r1, tag1) = Hll.fromBytes(a)
-    val (p2, r2, tag2) = Hll.fromBytes(b)
+    val (p1, r1, tag1, kh1) = Hll.fromBytesFull(a)
+    val (p2, r2, tag2, kh2) = Hll.fromBytesFull(b)
     require(p1 == p2 && tag1 == tag2, s"HLL merge: precision/type mismatch ($p1/$tag1 vs $p2/$tag2)")
-    Hll.toBytes(Hll.merge(r1, r2), p1, tag1, 0L)
+    require(kh1 == kh2, "HLL merge: sketches built under different SipHash keys")
+    Hll.toBytes(Hll.merge(r1, r2), p1, tag1, kh1)
   }
   def zero: Array[Byte] = Array.emptyByteArray
   def reduce(b: Array[Byte], x: Array[Byte]): Array[Byte] = mergeBytes(b, x)
@@ -156,9 +157,10 @@ final class CmsBytesMergeAgg(k0: Long = graft.SketchQueries.K0, k1: Long = graft
   private def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val (d1, w1, c1, tag1) = CountMin.fromBytes(a)
-    val (d2, w2, c2, tag2) = CountMin.fromBytes(b)
+    val (d1, w1, c1, tag1, kh1) = CountMin.fromBytesFull(a)
+    val (d2, w2, c2, tag2, kh2) = CountMin.fromBytesFull(b)
     require(d1 == d2 && w1 == w2 && tag1 == tag2, "CMS merge: shape/type mismatch")
+    require(kh1 == kh2, "CMS merge: sketches built under different SipHash keys")
     CountMin.toBytes(CountMin.merge(c1, c2), CmsConfig(k0, k1, d1, w1), tag1)
   }
   def zero: Array[Byte] = Array.emptyByteArray

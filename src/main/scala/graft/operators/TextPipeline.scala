@@ -63,7 +63,12 @@ object TextPipeline {
     * self-join within buckets. Returns distinct (doc_a, doc_b), doc_a <
     * doc_b. Collision keys are uniform 64-bit hashes -> even partitioning. */
   def lshCandidatePairs(withSig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandsUdf = udf { (sig: Array[Long]) => MinHash.bandKeys(K0, K1, sig, bands, rowsPerBand) }
+    val bandsUdf = udf { (sig: Array[Long]) =>
+      // empty documents (no shingles) must not enter any bucket: their
+      // all-sentinel signatures would all collide and flood candidates
+      if (MinHash.isEmpty(sig)) Array.empty[Long]
+      else MinHash.bandKeys(K0, K1, sig, bands, rowsPerBand)
+    }
     val banded = withSig
       .select(col(idCol).as("id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "key")))
     banded.as("a")

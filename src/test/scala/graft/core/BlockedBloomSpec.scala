@@ -25,10 +25,11 @@ class BlockedBloomSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](BloomConfig(k0, k1, 1, -1))
     assertThrows[IllegalArgumentException](BloomConfig(k0, k1, 1, 65))
     assertThrows[IllegalArgumentException](BloomConfig(k0, k1, 21, 10)) // 126+10 > 128
+    assertThrows[IllegalArgumentException](BloomConfig(k0, k1, 3, 28)) // 8*2^28+64 > byte-array max
     // valid edge cases construct fine
     BloomConfig(k0, k1, 1, 0)
     BloomConfig(k0, k1, 21, 2)   // 126 + 2 = 128
-    BloomConfig(k0, k1, 3, 28)
+    BloomConfig(k0, k1, 3, 27)
   }
 
   test("hash64Enough selection matches the <=64-bit budget rule") {
@@ -74,6 +75,26 @@ class BlockedBloomSpec extends AnyFunSuite {
       assert(math.abs(measured - analytic) < 0.005,
         s"(n=$n, log2l=$log2l, k=$k): measured $measured vs analytic $analytic")
     }
+  }
+
+  test("reference's largest grid point: n=5M, log2l=22, k=3 (tests/Main.hs:537-584)") {
+    val n = 5000000
+    val cfg = BloomConfig(k0, k1, 3, 22)
+    val words = new Array[Long](cfg.l)
+    var i = 2
+    while (i <= 2 * n) { BlockedBloom.insertInt(words, cfg, i); i += 2 }
+    // spot-check no false negatives on a stride (full scan is covered at
+    // smaller sizes; this is the scale fidelity point)
+    i = 2
+    while (i <= 2 * n) {
+      assert(BlockedBloom.containsInt(words, cfg, i), s"false negative at $i")
+      i += 2000
+    }
+    val anti = (0 until 10000).map(_ * 2 + 1)
+    val measured = anti.count(BlockedBloom.containsInt(words, cfg, _)).toDouble / anti.size
+    val analytic = Fpr.bloom1(n.toLong, cfg.l.toLong, 3)
+    assert(math.abs(measured - analytic) < 0.005,
+      s"measured $measured vs analytic $analytic at the 5M point")
   }
 
   test("128-bit hash path: no false negatives + sane FPR (k=13, log2l=20)") {

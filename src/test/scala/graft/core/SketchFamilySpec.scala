@@ -202,6 +202,44 @@ class SketchFamilySpec extends AnyFunSuite {
     }
   }
 
+  test("t-digest: extreme quantiles return observed min/max (tracked extremes)") {
+    val d = new TDigest(100)
+    val rnd = new scala.util.Random(3)
+    rnd.shuffle((1 to 100000).toVector).foreach(x => d.add(x.toDouble))
+    assert(d.quantile(0.0) === 1.0)
+    assert(d.quantile(1.0) === 100000.0)
+    // survives serialization
+    val back = TDigest.fromBytes(d.toBytes)
+    assert(back.quantile(0.0) === 1.0 && back.quantile(1.0) === 100000.0)
+    // near-extreme quantiles stay close to the true tails
+    assert(math.abs(back.quantile(0.999) / 100000.0 - 0.999) < 0.002)
+  }
+
+  test("HLL/CMS cross-key merges are rejected (keyHash validation)") {
+    val hA = Hll.empty(10); val hB = Hll.empty(10)
+    (1 to 100).foreach(i => Hll.addHash(hA, 10, SipHash.hashInt(1, 2, i)))
+    (1 to 100).foreach(i => Hll.addHash(hB, 10, SipHash.hashInt(3, 4, i)))
+    val hllMerge = new graft.jobs.HllBytesMergeAgg()
+    assertThrows[IllegalArgumentException](
+      hllMerge.merge(Hll.toBytes(hA, 10, 1L, 111L), Hll.toBytes(hB, 10, 1L, 222L)))
+    val cmsA = CmsConfig(1, 2, 5, 11); val cmsB = CmsConfig(3, 4, 5, 11)
+    val bufA = CountMin.empty(cmsA); val bufB = CountMin.empty(cmsB)
+    CountMin.addInt(bufA, cmsA, 7); CountMin.addInt(bufB, cmsB, 7)
+    val cmsMerge = new graft.jobs.CmsBytesMergeAgg()
+    assertThrows[IllegalArgumentException](
+      cmsMerge.merge(CountMin.toBytes(bufA, cmsA, 1L), CountMin.toBytes(bufB, cmsB, 1L)))
+  }
+
+  test("KLL: rng state survives serialization (no offset replay after resume)") {
+    val a = new KllSketch(64)
+    (1 to 5000).foreach(x => a.add(x.toDouble))
+    val restored = Kll.fromBytes(a.toBytes)
+    // continuing both must stay in lockstep: identical further behavior
+    (5001 to 8000).foreach { x => a.add(x.toDouble); restored.add(x.toDouble) }
+    assert(a.toBytes.sameElements(restored.toBytes),
+      "resumed sketch diverged from the original -> rng state was lost in ser/de")
+  }
+
   test("t-digest: serialization roundtrip") {
     val d = new TDigest(100)
     (1 to 5000).foreach(x => d.add(x.toDouble))
