@@ -88,12 +88,14 @@ object PipelineQueries {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val threshold = 0.6
     val approx = Similarity.srpNearDups(emb, "vec_id", "embedding", b = 32, chunks = 8, threshold = threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).persist()
     val exact = Similarity.exactNearDups(emb, "vec_id", "embedding", threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).persist()
     val nExact = exact.count()
     val nFound = approx.join(exact, Seq("id_a", "id_b"), "left_semi").count()
     val nSpurious = approx.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+    approx.unpersist()
+    exact.unpersist()
     import spark.implicits._
     Seq((nSpurious == 0L, nExact == 0L || nFound.toDouble / nExact >= 0.9))
       .toDF("sound", "recall_ok")

@@ -81,8 +81,10 @@ object SketchQueries {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t = Tokens.table(spark, dir)
     val enDocIds = docs.where(col("lang") === "en").select(col("doc_id").cast("string").as("doc_id"))
+    // persisted: evaluated once to build the Bloom, reused by the exact
+    // confirmation join (otherwise the join+explode+distinct re-executes)
     val buildSide = t.join(enDocIds, "doc_id")
-      .select(explode(col("tokens")).as("token")).distinct()
+      .select(explode(col("tokens")).as("token")).distinct().persist()
     // build the Bloom on the build side and ship it into the probe filter
     val sketchBytes = buildSide
       .agg(udaf(new BloomIntAgg(bloomCfg), ExpressionEncoder[Int]())(col("token")))

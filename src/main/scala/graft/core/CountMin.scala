@@ -102,11 +102,18 @@ object CountMin {
   // --- serialization: [version, typeTag, keyHash, depth, log2Width] + counters ---
   final val SerialVersion = 1L
 
-  def toBytes(buf: Array[Long], cfg: CmsConfig, typeTag: Long): Array[Byte] = {
+  def toBytes(buf: Array[Long], cfg: CmsConfig, typeTag: Long): Array[Byte] =
+    toBytesWithKeyHash(buf, cfg.depth, cfg.log2Width, typeTag,
+      SipHash.hashLong(cfg.k0, cfg.k1, cfg.k0 ^ cfg.k1))
+
+  /** Serializer that preserves an existing keyHash (merge paths must stamp
+    * the INPUT sketches' key hash, not whatever config the merger holds). */
+  def toBytesWithKeyHash(buf: Array[Long], depth: Int, log2Width: Int,
+      typeTag: Long, keyHash: Long): Array[Byte] = {
     val bb = ByteBuffer.allocate(40 + 8 * buf.length).order(ByteOrder.BIG_ENDIAN)
     bb.putLong(SerialVersion).putLong(typeTag)
-    bb.putLong(SipHash.hashLong(cfg.k0, cfg.k1, cfg.k0 ^ cfg.k1))
-    bb.putLong(cfg.depth.toLong).putLong(cfg.log2Width.toLong)
+    bb.putLong(keyHash)
+    bb.putLong(depth.toLong).putLong(log2Width.toLong)
     var i = 0
     while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
     bb.array()

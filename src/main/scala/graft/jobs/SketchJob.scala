@@ -59,12 +59,33 @@ object SketchJob {
     f(col("doc_id"))
   }
 
+  /** Run directories with a completed (_SUCCESS-marked) parquet commit.
+    * Each runIncrement writes its own run dir, so commits are atomic at
+    * run granularity: a crashed run leaves no _SUCCESS and is ignored
+    * entirely on resume (no partially-visible buckets). Hadoop FS APIs so
+    * checkpoints can live on HDFS/S3, not only the local FS. */
+  private def committedRunDirs(spark: SparkSession, ckptDir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(ckptDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else
+      fs.listStatus(path).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("run_"))
+        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+  }
+
+  /** All committed partial-sketch rows across run dirs. */
+  private def committedPartials(spark: SparkSession, ckptDir: String): Option[org.apache.spark.sql.DataFrame] = {
+    val dirs = committedRunDirs(spark, ckptDir)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   /** Buckets already committed to the checkpoint. */
   def committedBuckets(spark: SparkSession, ckptDir: String): Set[Int] =
-    if (!new java.io.File(ckptDir).exists()) Set.empty
-    else
-      spark.read.parquet(ckptDir).select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
+    committedPartials(spark, ckptDir)
+      .map(_.select("bucket").distinct().collect().map(_.getInt(0)).toSet)
+      .getOrElse(Set.empty)
 
   /** Run one (resumable) pass: aggregate partial sketches for every bucket
     * not yet in the checkpoint. Returns the number of buckets processed. */
@@ -95,7 +116,10 @@ object SketchJob {
         sum(col("n_tok")).cast("long").as("n_tokens"))
       .withColumn("committed_at_ms", lit(t0))
       .withColumn("build_host", lit(java.net.InetAddress.getLocalHost.getHostName))
-    partials.write.mode(SaveMode.Append).parquet(ckptDir)
+    // fresh run dir per increment: the parquet job writes _SUCCESS only on
+    // full commit, so a crash mid-run leaves an ignorable junk dir instead
+    // of partially-visible buckets in a shared append
+    partials.write.mode(SaveMode.ErrorIfExists).parquet(s"$ckptDir/run_${t0}_${todo.min}")
     todo.size
   }
 
@@ -107,7 +131,8 @@ object SketchJob {
     val bloomMergeU = udaf(new BloomMergeAgg(cfg.k0, cfg.k1), binEnc)
     val hllMergeU = udaf(new HllBytesMergeAgg(), binEnc)
     val cmsMergeU = udaf(new CmsBytesMergeAgg(), binEnc)
-    spark.read.parquet(ckptDir)
+    committedPartials(spark, ckptDir)
+      .getOrElse(throw new IllegalStateException(s"no committed runs under $ckptDir"))
       .groupBy(col("source"))
       .agg(
         bloomMergeU(col("bloom")).as("bloom"),
@@ -120,7 +145,8 @@ object SketchJob {
 
   /** Per-bucket lineage view (what resumed, when, how much). */
   def lineage(spark: SparkSession, ckptDir: String): DataFrame =
-    spark.read.parquet(ckptDir)
+    committedPartials(spark, ckptDir)
+      .getOrElse(throw new IllegalStateException(s"no committed runs under $ckptDir"))
       .groupBy(col("bucket"))
       .agg(
         sum(col("n_rows")).as("n_rows"),
@@ -151,7 +177,7 @@ final class HllBytesMergeAgg extends org.apache.spark.sql.expressions.Aggregator
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
-final class CmsBytesMergeAgg(k0: Long = graft.SketchQueries.K0, k1: Long = graft.SketchQueries.K1)
+final class CmsBytesMergeAgg()
     extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
   import org.apache.spark.sql.{Encoder, Encoders}
   private def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
@@ -161,7 +187,9 @@ final class CmsBytesMergeAgg(k0: Long = graft.SketchQueries.K0, k1: Long = graft
     val (d2, w2, c2, tag2, kh2) = CountMin.fromBytesFull(b)
     require(d1 == d2 && w1 == w2 && tag1 == tag2, "CMS merge: shape/type mismatch")
     require(kh1 == kh2, "CMS merge: sketches built under different SipHash keys")
-    CountMin.toBytes(CountMin.merge(c1, c2), CmsConfig(k0, k1, d1, w1), tag1)
+    // stamp the INPUT sketches' key hash (merging under config defaults
+    // would silently relabel the key, defeating the cross-key rejection)
+    CountMin.toBytesWithKeyHash(CountMin.merge(c1, c2), d1, w1, tag1, kh1)
   }
   def zero: Array[Byte] = Array.emptyByteArray
   def reduce(b: Array[Byte], x: Array[Byte]): Array[Byte] = mergeBytes(b, x)

@@ -69,15 +69,19 @@ object Multimodal {
       sum.toDouble / math.max(1, bytes.length), frames, row.source)
   }
 
-  /** Batched feature extraction: one decoder invocation stream per
-    * partition (the mapInPandas batch shape — amortizes model/codec init
-    * across the partition, keeps memory bounded to one batch). */
+  /** STUB batch decoder — receives the WHOLE batch (the contract a real
+    * vectorized codec/model consumes); currently maps the stub over it. */
+  def decodeBatchStub(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map(decodeStub)
+
+  /** Batched feature extraction: one decoder invocation PER BATCH per
+    * partition (the mapInPandas batch shape — a real vectorized decoder
+    * slots into decodeBatchStub; per-task init lives before the loop). */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
       // per-partition init slot (a real codec/model would be opened here,
       // once per task, and shared across batches)
-      rows.grouped(batchSize).flatMap { batch => batch.iterator.map(decodeStub) }
+      rows.grouped(batchSize).flatMap(decodeBatchStub)
     }
   }
 

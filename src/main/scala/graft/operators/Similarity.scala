@@ -30,7 +30,10 @@ object Similarity {
     val dot = aggregate(zip_with(emb, q, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
     val nA = sqrt(aggregate(emb, lit(0.0), (acc, v) => acc + v * v))
     val nB = lit(math.sqrt(query.map(x => x.toDouble * x).sum))
-    dot / (nA * nB)
+    // zero-norm vectors: cosine undefined -> -1.0 (Spark sorts/compares NaN
+    // ABOVE every double, so a NaN would rank first in top-k and pass
+    // >= threshold filters)
+    when(nA * nB === 0.0, lit(-1.0)).otherwise(dot / (nA * nB))
   }
 
   /** Cosine between two embedding columns (for pair verification).
@@ -48,7 +51,7 @@ object Similarity {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
   }
 
   /** Exact brute-force top-k neighbours of `query` — the correctness
@@ -65,15 +68,27 @@ object Similarity {
   @inline private def rademacher(i: Int, j: Int): Double =
     if ((SipHash.hashLong(K0 ^ i.toLong, K1 + j.toLong, 0x5250L) & 1L) == 1L) 1.0 else -1.0
 
+  /** Precomputed +/-1 hyperplane matrix for (b planes, dim dimensions) —
+    * the planes depend only on (i, j); recomputing them per row costs one
+    * SipHash per (plane, dim) per embedding, which dominates at scale. */
+  def planeMatrix(b: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(b, dim)((i, j) => rademacher(i, j))
+
   /** Signed-random-projection sign bits for an embedding (b planes). */
-  def srpBits(emb: Array[Float], b: Int): Long = {
+  def srpBits(emb: Array[Float], b: Int): Long =
+    srpBitsWith(emb, planeMatrix(b, emb.length))
+
+  def srpBitsWith(emb: Array[Float], planes: Array[Array[Double]]): Long = {
+    val b = planes.length
     require(b <= 64, "srp bits capped at 64")
     var bits = 0L
     var i = 0
     while (i < b) {
+      val row = planes(i)
       var dot = 0.0
       var j = 0
-      while (j < emb.length) { dot += emb(j) * rademacher(i, j); j += 1 }
+      val n = math.min(emb.length, row.length)
+      while (j < n) { dot += emb(j) * row(j); j += 1 }
       if (dot > 0) bits |= 1L << i
       i += 1
     }
@@ -86,11 +101,11 @@ object Similarity {
     * = 1 - theta/pi, so near-parallel vectors collide in some band w.h.p. */
   def srpNearDups(embeddings: DataFrame, idCol: String, embCol: String,
       b: Int = 32, chunks: Int = 4, threshold: Double = 0.9): DataFrame = {
+    require(chunks >= 1 && chunks <= b && b % chunks == 0,
+      s"srpNearDups: chunks ($chunks) must divide b ($b)")
     val bitsPerChunk = b / chunks
-    val chunkUdf = udf { (emb: Array[Float]) =>
-      val bits = srpBits(emb, b)
-      Array.tabulate(chunks)(c => ((bits >>> (c * bitsPerChunk)) & ((1L << bitsPerChunk) - 1)).toInt)
-    }
+    require(bitsPerChunk <= 31, s"srpNearDups: bits per chunk ($bitsPerChunk) must fit an Int key")
+    val chunkUdf = udf(new SrpChunker(b, chunks, bitsPerChunk))
     // candidates carry ids only (distinct on two longs, not on embedding
     // arrays); embeddings join back afterwards — at scale this keeps the
     // shuffle payload minimal
@@ -109,6 +124,19 @@ object Similarity {
       .withColumn("cos", cosineCols(col("emb_a"), col("emb_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** SRP banding function with per-executor cached hyperplanes (the matrix
+    * is deterministic from (plane, dim), so lazily building it per task is
+    * safe; rebuilding it per ROW would cost b*dim SipHash calls each). */
+  private final class SrpChunker(b: Int, chunks: Int, bitsPerChunk: Int)
+      extends (Array[Float] => Array[Int]) with Serializable {
+    @transient private var planes: Array[Array[Double]] = _
+    override def apply(emb: Array[Float]): Array[Int] = {
+      if (planes == null || planes(0).length < emb.length) planes = planeMatrix(b, emb.length)
+      val bits = srpBitsWith(emb, planes)
+      Array.tabulate(chunks)(c => ((bits >>> (c * bitsPerChunk)) & ((1L << bitsPerChunk) - 1)).toInt)
+    }
   }
 
   /** Exact all-pairs near-duplicates (test oracle; O(n²) — small scale only). */

@@ -59,6 +59,19 @@ object TextPipeline {
     docs.withColumn("sig", f(col(textCol)))
   }
 
+  /** Shared banded-LSH candidate generation: given exploded (id, band, key)
+    * rows, self-join within buckets and return distinct ordered id pairs.
+    * Used by MinHash, SimHash and SRP candidate generation (one
+    * implementation so guards and key handling cannot diverge). */
+  private[operators] def candidatePairsFromBanded(banded: DataFrame,
+      outA: String = "doc_a", outB: String = "doc_b"): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as(outA), col("b.id").as(outB))
+      .distinct()
+
   /** LSH candidate pairs: explode each doc into `bands` (band, key) rows,
     * self-join within buckets. Returns distinct (doc_a, doc_b), doc_a <
     * doc_b. Collision keys are uniform 64-bit hashes -> even partitioning. */
@@ -71,12 +84,7 @@ object TextPipeline {
     }
     val banded = withSig
       .select(col(idCol).as("id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "key")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    candidatePairsFromBanded(banded)
   }
 
   /** Exact Jaccard verification of candidate pairs over their shingle
@@ -130,16 +138,18 @@ object TextPipeline {
     require(maxHamming <= 3, "chunk-based candidate generation guarantees recall only for hamming <= 3")
     val chunksUdf = udf { (fp: Long) => SimHash.chunks(fp) }
     val hammingUdf = udf { (a: Long, b: Long) => SimHash.hamming(a, b) }
-    val withFp = withSimHash(docs, textCol).select(col(idCol).as("id"), col("simhash"))
-    val banded = withFp.select(col("id"), col("simhash"),
-      posexplode(chunksUdf(col("simhash"))).as(Seq("chunk_idx", "chunk")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        hammingUdf(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
+    // empty/whitespace-only texts all fingerprint identically and would
+    // flood every chunk bucket (same guard as the MinHash path)
+    val nonEmpty = docs.where(
+      col(textCol).isNotNull && size(filter(split(col(textCol), " "), w => w =!= lit(""))) > 0)
+    val withFp = withSimHash(nonEmpty, textCol).select(col(idCol).as("id"), col("simhash"))
+    val banded = withFp.select(col("id"),
+      posexplode(chunksUdf(col("simhash"))).as(Seq("band", "key")))
+    val pairs = candidatePairsFromBanded(banded)
+    val fps = withFp.withColumnRenamed("id", "doc_a").withColumnRenamed("simhash", "fp_a")
+    val fpsB = withFp.withColumnRenamed("id", "doc_b").withColumnRenamed("simhash", "fp_b")
+    pairs.join(fps, "doc_a").join(fpsB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), hammingUdf(col("fp_a"), col("fp_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

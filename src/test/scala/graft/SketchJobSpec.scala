@@ -59,6 +59,28 @@ class SketchJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a crashed (no _SUCCESS) run dir is ignored; its buckets re-run on resume") {
+    val tokens = graft.sources.Tokens.table(spark, "/root/testdata/sf0.001")
+    val ckpt = freshDir()
+    assert(SketchJob.runIncrement(spark, tokens, ckpt, cfg, failAfterBuckets = Some(6)) === 6)
+    // simulate a crashed second run: parquet files present, no _SUCCESS
+    val junk = new java.io.File(s"$ckpt/run_9999999999999_99")
+    junk.mkdirs()
+    java.nio.file.Files.writeString(junk.toPath.resolve("part-00000.parquet"), "garbage")
+    assert(SketchJob.committedBuckets(spark, ckpt).size === 6,
+      "uncommitted run dir must not contribute buckets")
+    // resume completes the remaining buckets and finalize matches a clean run
+    assert(SketchJob.runIncrement(spark, tokens, ckpt, cfg) === 10)
+    val resumed = SketchJob.finalizeSketches(spark, ckpt, cfg).orderBy("source").collect()
+    val cleanCkpt = freshDir()
+    SketchJob.runIncrement(spark, tokens, cleanCkpt, cfg)
+    val clean = SketchJob.finalizeSketches(spark, cleanCkpt, cfg).orderBy("source").collect()
+    resumed.zip(clean).foreach { case (r, c) =>
+      for (i <- 1 to 3)
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]](i), c.getAs[Array[Byte]](i)))
+    }
+  }
+
   test("finalized sketches have no false negatives and coherent lineage") {
     val tokens = graft.sources.Tokens.table(spark, "/root/testdata/sf0.001")
     val ckpt = freshDir()
