@@ -82,6 +82,34 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("windowed count-min matches a batch-built CMS per (window, source)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cms = graft.core.CmsConfig(Keys.DefaultK0, Keys.DefaultK1, 5, 8)
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val df = stream.toDF().toDF("ts", "source", "tokens")
+    val out = StreamingSketch.windowedCountMin(df, "ts", "10 minutes", "5 minutes", cms)
+    val query = out.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_cms").start()
+    try {
+      stream.addData((ts(1), "a", Array(7, 7, 8)), (ts(2), "a", Array(7)))
+      query.processAllAvailable()
+      stream.addData((ts(3), "a", Array(7, 9)))
+      query.processAllAvailable()
+      val bytes = spark.table("stream_cms")
+        .where(col("source") === "a").head().getAs[Array[Byte]]("cms")
+      val (_, _, buf, _) = graft.core.CountMin.fromBytes(bytes)
+      assert(graft.core.CountMin.estimateInt(buf, cms, 7) === 4L)
+      assert(graft.core.CountMin.estimateInt(buf, cms, 8) === 1L)
+      assert(graft.core.CountMin.totalCount(buf, cms) === 6L)
+      // batch-identical
+      val serial = graft.core.CountMin.empty(cms)
+      Seq(7, 7, 8, 7, 7, 9).foreach(t => graft.core.CountMin.addInt(serial, cms, t))
+      assert(graft.core.CountMin.toBytes(serial, cms, graft.core.BlockedBloom.TypeTag.Int)
+        .sameElements(bytes))
+    } finally query.stop()
+  }
+
   test("late data beyond the watermark is dropped (append-mode semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
