@@ -145,6 +145,27 @@ object Bench {
         (throughput(levels(2))._1 / throughput(l1)._1) / (levels(2).toDouble / l1)
       else efficiency
 
+    // ---- phase 3b: probe (lookup) throughput through the native codegen
+    // expression at full parallelism — the read-path counterpart of the
+    // reference's lookup benchmarks (benchmarks/Main.hs:68-330) ----
+    val probeTotal = 400000000L
+    val probeSec = {
+      val s = session(cpus)
+      graft.plans.GraftFunctions.register(s)
+      import org.apache.spark.sql.functions.{call_function, lit => flit}
+      def run(): Long = s.range(0, probeTotal, 1, cpus * 4)
+        .select(col("id").cast("int").as("t"))
+        .where(call_function(graft.plans.GraftFunctions.BloomMightContainName, flit(bloomBytes), col("t")))
+        .count()
+      run() // warm
+      val (hits, sec) = time(run())
+      System.err.println(f"[bench] probe: $probeTotal probes in $sec%.3f s (${hits.toDouble / probeTotal}%.4f hit rate)")
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      sec
+    }
+
     // ---- phase 4: empirical FPR vs analytic bound on the bench bloom ----
     val (bCfg, words, _) = BlockedBloom.fromBytes(SketchQueries.K0, SketchQueries.K1, bloomBytes)
     val antiN = 200000
@@ -164,6 +185,7 @@ object Bench {
         s""""sketch_build_tokens":$totalTokens,$levelJson,""" +
         f""""scaling_levels":"${levels.mkString(",")}%s",""" +
         f""""scaling_efficiency":$efficiency%.3f,"scaling_efficiency_saturated":$effHigh%.3f,""" +
+        f""""probes_per_sec_n$cpus":${probeTotal / probeSec}%.0f,""" +
         f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}""")
   }
 }
