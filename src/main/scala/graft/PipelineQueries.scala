@@ -101,6 +101,27 @@ object PipelineQueries {
       .toDF("sound", "recall_ok")
   }
 
+  /** IVF-Flat sanity: full-probe IVF search must return exactly the brute-
+    * force top-10 (the index is lossless when every cluster is probed), and
+    * a 4/16-probe search must stay on probed clusters and return k rows.
+    * Emitted as exact booleans. */
+  def ivfTopkMatches(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val query = emb.where(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val candidates = emb.where(col("vec_id") =!= 0)
+    val index = Similarity.ivfBuild(candidates, "vec_id", "embedding", numClusters = 16)
+    index.indexed.persist()
+    val full = Similarity.ivfSearch(index, query, 10, nProbe = 16)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(candidates, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = Similarity.ivfSearch(index, query, 10, nProbe = 4).count()
+    index.indexed.unpersist()
+    import spark.implicits._
+    Seq((full == exact, pruned == 10L)).toDF("full_probe_exact", "pruned_returns_k")
+  }
+
   /** Multimodal stub pipeline: synthetic binary media -> batched feature
     * extraction (mapPartitions) -> per-(source,type) stats. Deterministic. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {

@@ -47,6 +47,7 @@ object SparkEntry {
     // similarity search
     "q_embedding_topk" -> (PipelineQueries.embeddingTopK _),
     "q_srp_ann_recall" -> (PipelineQueries.srpAnnRecall _),
+    "q_ivf_topk_matches" -> (PipelineQueries.ivfTopkMatches _),
     // multimodal plumbing (stubbed decode, real batching)
     "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _)
   )
@@ -108,7 +109,9 @@ object SparkEntry {
           "len(list_filter(string_split(text, ' '), w -> w <> '')) THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok " +
           "FROM documents GROUP BY source ORDER BY source"),
       "q_srp_ann_recall" ->
-        "SELECT true AS sound, true AS recall_ok"
+        "SELECT true AS sound, true AS recall_ok",
+      "q_ivf_topk_matches" ->
+        "SELECT true AS full_probe_exact, true AS pruned_returns_k"
       // q_minhash_lsh_dups / q_simhash_dups / q_lang_id / q_embedding_topk /
       // q_multimodal_features: deterministic but not DuckDB-expressible
       // (SipHash-derived LSH, heuristics, stub decode) -> rows-only check;

@@ -139,6 +139,68 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------------------- IVF-Flat
+
+  /** IVF-Flat index: embeddings assigned to their nearest centroid, so a
+    * query scans only the `nProbe` most query-similar clusters instead of
+    * the whole table. Centroids are a deterministic sample (smallest
+    * SipHash(id) — reproducible across runs/executors); a k-means
+    * refinement is a drop-in replacement for `centroids`. At scale the
+    * indexed table is written partitioned by `cluster` so a query prunes
+    * partitions at the source. */
+  final case class IvfIndex(centroids: Array[Array[Float]], indexed: DataFrame)
+
+  private def localCosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
+  }
+
+  def ivfBuild(embeddings: DataFrame, idCol: String, embCol: String, numClusters: Int): IvfIndex = {
+    val hashIdUdf = udf { (id: Long) => SipHash.hashLong(K0, K1, id) }
+    val centroids = embeddings
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .orderBy(hashIdUdf(col("id")), col("id"))
+      .limit(numClusters)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    val assignUdf = udf { (emb: Array[Float]) =>
+      var best = 0; var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cos = localCosine(emb, centroids(c))
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    }
+    val indexed = embeddings.select(
+      col(idCol).as("id"), col(embCol).as("emb"), assignUdf(col(embCol)).as("cluster"))
+    IvfIndex(centroids, indexed)
+  }
+
+  /** Approximate top-k: scan only the nProbe clusters whose centroids are
+    * most similar to the query. nProbe = numClusters degenerates to exact
+    * brute force (tested). */
+  def ivfSearch(index: IvfIndex, query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, localCosine(query, c)) }
+      .sortBy { case (i, cos) => (-cos, i) }
+      .take(math.min(nProbe, index.centroids.length))
+      .map(_._1)
+    index.indexed
+      .where(col("cluster").isin(probes.map(p => p: Any): _*))
+      .select(col("id"), cosineTo(col("emb"), query).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Exact all-pairs near-duplicates (test oracle; O(n²) — small scale only). */
   def exactNearDups(embeddings: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {

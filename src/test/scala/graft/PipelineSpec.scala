@@ -128,6 +128,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in\n$plan")
   }
 
+  test("IVF-Flat: full-probe search equals brute force; pruned search scans fewer rows") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val query = emb.where(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val candidates = emb.where(col("vec_id") =!= 0)
+    val index = Similarity.ivfBuild(candidates, "vec_id", "embedding", numClusters = 16)
+    index.indexed.persist()
+    // sanity: every cluster id in range, all rows indexed
+    val clusters = index.indexed.groupBy("cluster").count().collect()
+    assert(clusters.map(_.getLong(1)).sum === candidates.count())
+    assert(clusters.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
+    // nProbe = numClusters degenerates to exact brute force
+    val full = Similarity.ivfSearch(index, query, 10, nProbe = 16)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(candidates, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === exact, "full-probe IVF must equal brute force")
+    // pruned probe: returns k results from probed clusters only, scanning less
+    val pruned = Similarity.ivfSearch(index, query, 10, nProbe = 4)
+    assert(pruned.count() === 10)
+    val recall = pruned.collect().map(_.getLong(0)).count(exact.contains).toDouble / 10
+    assert(recall >= 0.3, s"IVF recall@10 with 4/16 probes unreasonably low: $recall")
+    index.indexed.unpersist()
+  }
+
   test("quality metrics agree with a straightforward recomputation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = TextPipeline.withQualityMetrics(docs)
