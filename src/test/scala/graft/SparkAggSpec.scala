@@ -198,6 +198,13 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(perCall, ud), "per-call (k, log2l) SQL args ignored")
   }
 
+  test("driver contract: entry() returns rows on sf0.001 and every query name has a body") {
+    assert(SparkEntry.entry(spark).count() > 0, "entry smoke must return rows")
+    // every oracle key refers to an existing query
+    SparkEntry.oracleSql.keys.foreach(k =>
+      assert(SparkEntry.queries.contains(k), s"oracle $k has no query"))
+  }
+
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
     val dir = "/root/testdata/sf0.001"
     val a = Tokens.table(spark, dir).orderBy("doc_id").collect()
