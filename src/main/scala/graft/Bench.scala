@@ -31,9 +31,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // tmpfs shuffle dirs: keep disk-I/O jitter out of the scaling signal
+      // tmpfs shuffle dirs: keep disk-I/O jitter out of the scaling signal.
+      // NOTE: driver heap cannot be set here (the JVM is already running) —
+      // SPARK_DRIVER_MEM is applied as -Xmx by build.sbt's javaOptions.
       .config("spark.local.dir", "/dev/shm/graft_spark")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -89,7 +90,9 @@ object Bench {
     var totalTokens = 0L
     locally {
       val s = session(cpus)
-      if (!new java.io.File(benchPath).exists()) {
+      // _SUCCESS gate: a crashed earlier generation must not silently feed
+      // truncated data into the throughput numbers
+      if (!new java.io.File(s"$benchPath/_SUCCESS").exists()) {
         Tokens.synthetic(s, benchDocs, avgTokens = 64, vocabSize = vocab,
             numSources = 16, partitions = cpus * 4)
           .write.mode("overwrite").parquet(benchPath)

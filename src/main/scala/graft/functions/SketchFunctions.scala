@@ -25,16 +25,19 @@ object SketchFunctions extends Serializable {
   private object Memo {
     private final class Entry(val bytes: Array[Byte], val value: AnyRef)
     private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Entry]()
-    private def sampleKey(bytes: Array[Byte]): Long = {
+    private def sampleKey(tag: Long, bytes: Array[Byte]): Long = {
       val n = bytes.length
       val m = math.min(n, 64)
       val sample = new Array[Byte](m)
       var i = 0
       while (i < m) { sample(i) = bytes((i.toLong * n / m).toInt); i += 1 }
-      SipHash.hash64(0x6d656d6fL, n.toLong, sample)
+      SipHash.hash64(0x6d656d6fL ^ tag, n.toLong, sample)
     }
-    def get[T <: AnyRef](bytes: Array[Byte], load: Array[Byte] => T): T = {
-      val key = sampleKey(bytes)
+    /** `tag` distinguishes loaders (reader type + key): identical bytes read
+      * by a different reader/key must never be served another loader's
+      * cached object. */
+    def get[T <: AnyRef](tag: Long, bytes: Array[Byte], load: Array[Byte] => T): T = {
+      val key = sampleKey(tag, bytes)
       val e = cache.get(key)
       if (e != null && java.util.Arrays.equals(e.bytes, bytes)) return e.value.asInstanceOf[T]
       val v = load(bytes)
@@ -44,35 +47,46 @@ object SketchFunctions extends Serializable {
     }
   }
 
-  private final class LoadedBloom(val cfg: BloomConfig, val words: Array[Long])
+  private def tagOf(kind: Long, k0: Long, k1: Long): Long =
+    SipHash.hashLong(k0, k1, kind)
 
-  private def loadBloom(k0: Long, k1: Long)(bytes: Array[Byte]): LoadedBloom = {
-    val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, bytes)
-    new LoadedBloom(cfg, words)
-  }
+  private def loadBloom(k0: Long, k1: Long)(bytes: Array[Byte]): graft.plans.LoadedBloomFilter =
+    graft.plans.LoadedBloomFilter.load(k0, k1, bytes)
 
   /** `bloom_might_contain(sketch, token)` for int elements. No false
     * negatives; false positives at the configured FPR. */
   def bloomMightContainInt(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val tag = tagOf(1L, k0, k1)
     val f = udf { (bytes: Array[Byte], x: Int) =>
-      val b = Memo.get(bytes, loadBloom(k0, k1))
-      BlockedBloom.containsInt(b.words, b.cfg, x)
+      if (bytes == null) null
+      else {
+        val b = Memo.get(tag, bytes, loadBloom(k0, k1))
+        java.lang.Boolean.valueOf(BlockedBloom.containsInt(b.words, b.cfg, x))
+      }
     }
     f(sketch, elem)
   }
 
   def bloomMightContainLong(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val tag = tagOf(1L, k0, k1)
     val f = udf { (bytes: Array[Byte], x: Long) =>
-      val b = Memo.get(bytes, loadBloom(k0, k1))
-      BlockedBloom.containsLong(b.words, b.cfg, x)
+      if (bytes == null) null
+      else {
+        val b = Memo.get(tag, bytes, loadBloom(k0, k1))
+        java.lang.Boolean.valueOf(BlockedBloom.containsLong(b.words, b.cfg, x))
+      }
     }
     f(sketch, elem)
   }
 
   def bloomMightContainString(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val tag = tagOf(1L, k0, k1)
     val f = udf { (bytes: Array[Byte], s: String) =>
-      val b = Memo.get(bytes, loadBloom(k0, k1))
-      s != null && BlockedBloom.containsString(b.words, b.cfg, s)
+      if (bytes == null || s == null) null
+      else {
+        val b = Memo.get(tag, bytes, loadBloom(k0, k1))
+        java.lang.Boolean.valueOf(BlockedBloom.containsString(b.words, b.cfg, s))
+      }
     }
     f(sketch, elem)
   }
@@ -80,14 +94,15 @@ object SketchFunctions extends Serializable {
   /** Count of probe tokens present in the sketch — probes a whole token
     * array in one call (avoids an explode when only the count is needed). */
   def bloomCountContainedTokens(k0: Long, k1: Long)(sketch: Column, tokens: Column): Column = {
+    val tag = tagOf(1L, k0, k1)
     val f = udf { (bytes: Array[Byte], toks: Seq[Int]) =>
-      val b = Memo.get(bytes, loadBloom(k0, k1))
-      if (toks == null) 0L
+      if (toks == null || bytes == null) if (bytes == null && toks != null) null else java.lang.Long.valueOf(0L)
       else {
+        val b = Memo.get(tag, bytes, loadBloom(k0, k1))
         var n = 0L
         val it = toks.iterator
         while (it.hasNext) if (BlockedBloom.containsInt(b.words, b.cfg, it.next())) n += 1L
-        n
+        java.lang.Long.valueOf(n)
       }
     }
     f(sketch, tokens)
@@ -132,6 +147,8 @@ object SketchFunctions extends Serializable {
     * sizes fold down to the smaller, same as union. */
   def bloomIntersect(k0: Long, k1: Long): (Column, Column) => Column = {
     val f = udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else {
       val (cfgA, wa, tagA) = BlockedBloom.fromBytes(k0, k1, a)
       val (cfgB, wb, tagB) = BlockedBloom.fromBytes(k0, k1, b)
       require(cfgA.k == cfgB.k && tagA == tagB && cfgA.hash64Enough == cfgB.hash64Enough,
@@ -141,6 +158,7 @@ object SketchFunctions extends Serializable {
       val fb = if (cfgB.log2l == target) wb else BlockedBloom.fold(wb, target)
       val cfg = if (cfgA.log2l == target) cfgA else cfgB
       BlockedBloom.toBytes(BlockedBloom.intersectInPlace(fa, fb), cfg, tagA)
+      }
     }
     (a, b) => f(a, b)
   }
@@ -148,8 +166,11 @@ object SketchFunctions extends Serializable {
   /** `hll_estimate(sketch)` -> double. */
   val hllEstimate: Column => Column = {
     val f = udf { (bytes: Array[Byte]) =>
-      val regs = Memo.get(bytes, (b: Array[Byte]) => Hll.fromBytes(b)._2)
-      Hll.estimate(regs)
+      if (bytes == null) null
+      else {
+        val regs = Memo.get(2L, bytes, (b: Array[Byte]) => Hll.fromBytes(b)._2)
+        java.lang.Double.valueOf(Hll.estimate(regs))
+      }
     }
     c => f(c)
   }
@@ -157,32 +178,46 @@ object SketchFunctions extends Serializable {
   private final class LoadedCms(val cfg: CmsConfig, val buf: Array[Long])
 
   private def loadCms(k0: Long, k1: Long)(bytes: Array[Byte]): LoadedCms = {
-    val (depth, log2Width, buf, _) = CountMin.fromBytes(bytes)
+    val (depth, log2Width, buf, _, storedKeyHash) = CountMin.fromBytesFull(bytes)
+    require(storedKeyHash == SipHash.hashLong(k0, k1, k0 ^ k1),
+      "CMS sketch was built with a different SipHash key")
     new LoadedCms(CmsConfig(k0, k1, depth, log2Width), buf)
   }
 
   /** `cms_estimate(sketch, token)` -> long (point frequency, one-sided). */
   def cmsEstimateInt(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val tag = tagOf(3L, k0, k1)
     val f = udf { (bytes: Array[Byte], x: Int) =>
-      val c = Memo.get(bytes, loadCms(k0, k1))
-      CountMin.estimateInt(c.buf, c.cfg, x)
+      if (bytes == null) null
+      else {
+        val c = Memo.get(tag, bytes, loadCms(k0, k1))
+        java.lang.Long.valueOf(CountMin.estimateInt(c.buf, c.cfg, x))
+      }
     }
     f(sketch, elem)
   }
 
   def cmsEstimateString(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
+    val tag = tagOf(3L, k0, k1)
     val f = udf { (bytes: Array[Byte], s: String) =>
-      val c = Memo.get(bytes, loadCms(k0, k1))
-      CountMin.estimateString(c.buf, c.cfg, s)
+      if (bytes == null || s == null) null
+      else {
+        val c = Memo.get(tag, bytes, loadCms(k0, k1))
+        java.lang.Long.valueOf(CountMin.estimateString(c.buf, c.cfg, s))
+      }
     }
     f(sketch, elem)
   }
 
   /** Total inserted weight N recorded in a CMS sketch. */
   def cmsTotalCount(k0: Long, k1: Long)(sketch: Column): Column = {
+    val tag = tagOf(3L, k0, k1)
     val f = udf { (bytes: Array[Byte]) =>
-      val c = Memo.get(bytes, loadCms(k0, k1))
-      CountMin.totalCount(c.buf, c.cfg)
+      if (bytes == null) null
+      else {
+        val c = Memo.get(tag, bytes, loadCms(k0, k1))
+        java.lang.Long.valueOf(CountMin.totalCount(c.buf, c.cfg))
+      }
     }
     f(sketch)
   }
@@ -190,7 +225,8 @@ object SketchFunctions extends Serializable {
   /** `kll_quantile(sketch, q)` -> double. */
   val kllQuantile: (Column, Column) => Column = {
     val f = udf { (bytes: Array[Byte], q: Double) =>
-      Memo.get(bytes, Kll.fromBytes).quantile(q)
+      if (bytes == null) null
+      else java.lang.Double.valueOf(Memo.get(4L, bytes, Kll.fromBytes).quantile(q))
     }
     (s, q) => f(s, q)
   }
@@ -198,7 +234,8 @@ object SketchFunctions extends Serializable {
   /** `kll_rank(sketch, x)` -> estimated count <= x. */
   val kllRank: (Column, Column) => Column = {
     val f = udf { (bytes: Array[Byte], x: Double) =>
-      Memo.get(bytes, Kll.fromBytes).rank(x)
+      if (bytes == null) null
+      else java.lang.Long.valueOf(Memo.get(4L, bytes, Kll.fromBytes).rank(x))
     }
     (s, x) => f(s, x)
   }
@@ -206,7 +243,8 @@ object SketchFunctions extends Serializable {
   /** `tdigest_quantile(sketch, q)` -> double. */
   val tdigestQuantile: (Column, Column) => Column = {
     val f = udf { (bytes: Array[Byte], q: Double) =>
-      Memo.get(bytes, TDigest.fromBytes).quantile(q)
+      if (bytes == null) null
+      else java.lang.Double.valueOf(Memo.get(5L, bytes, TDigest.fromBytes).quantile(q))
     }
     (s, q) => f(s, q)
   }
@@ -214,7 +252,8 @@ object SketchFunctions extends Serializable {
   /** `tdigest_cdf(sketch, x)` -> estimated fraction of mass <= x. */
   val tdigestCdf: (Column, Column) => Column = {
     val f = udf { (bytes: Array[Byte], x: Double) =>
-      Memo.get(bytes, TDigest.fromBytes).cdf(x)
+      if (bytes == null) null
+      else java.lang.Double.valueOf(Memo.get(5L, bytes, TDigest.fromBytes).cdf(x))
     }
     (s, x) => f(s, x)
   }

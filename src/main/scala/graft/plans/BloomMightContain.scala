@@ -74,8 +74,11 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
     if (foldedFilter != null) foldedFilter
     else {
       if (cachedBytes == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
+        // load BEFORE updating the key: a throwing load must not leave the
+        // cache claiming these bytes map to the previous filter
+        val loaded = LoadedBloomFilter.load(k0, k1, bytes)
         cachedBytes = bytes.clone()
-        cachedFilter = LoadedBloomFilter.load(k0, k1, bytes)
+        cachedFilter = loaded
       }
       cachedFilter
     }
@@ -178,16 +181,23 @@ object GraftFunctions {
 
   private[plans] def sipBuilder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(e) => SipHash64Expr(e, Keys.DefaultK0, Keys.DefaultK1)
-    case Seq(e, Literal(kk0: Long, LongType), Literal(kk1: Long, LongType)) =>
-      SipHash64Expr(e, kk0, kk1)
+    case Seq(e, kk0, kk1) if keyLit(kk0).isDefined && keyLit(kk1).isDefined =>
+      SipHash64Expr(e, keyLit(kk0).get, keyLit(kk1).get)
     case _ => throw new IllegalArgumentException(
       s"$SipHash64Name expects (elem [, k0 BIGINT, k1 BIGINT])")
   }
 
+  /** SQL integer literals default to INT; accept both widths for keys. */
+  private def keyLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case _ => None
+  }
+
   private[plans] def builder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, e) => BloomMightContain(s, e, Keys.DefaultK0, Keys.DefaultK1)
-    case Seq(s, e, Literal(kk0: Long, LongType), Literal(kk1: Long, LongType)) =>
-      BloomMightContain(s, e, kk0, kk1)
+    case Seq(s, e, kk0, kk1) if keyLit(kk0).isDefined && keyLit(kk1).isDefined =>
+      BloomMightContain(s, e, keyLit(kk0).get, keyLit(kk1).get)
     case _ => throw new IllegalArgumentException(
       s"$BloomMightContainName expects (sketch BINARY, elem, [k0 BIGINT, k1 BIGINT])")
   }

@@ -26,21 +26,28 @@ object Tokens {
 
   final case class TokenRow(doc_id: String, tokens: Array[Int], n_tok: Int, source: String)
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // cache the vocab MAP per sfDir (plain data — session-independent, no
+  // stopped-session DataFrames pinned, no identityHashCode reuse hazard);
+  // the DataFrame itself is cheap to rebuild from it
+  private val vocabCache = scala.collection.concurrent.TrieMap.empty[String, Map[String, Int]]
 
-  def table(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}|$sfDir", build(spark, sfDir))
+  def table(spark: SparkSession, sfDir: String): DataFrame = build(spark, sfDir)
+
+  private def vocabOf(spark: SparkSession, sfDir: String): Map[String, Int] =
+    vocabCache.getOrElseUpdate(sfDir, {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .distinct()
+        .orderBy("w")
+        .collect()
+        .map(_.getString(0))
+        .zipWithIndex.map { case (w, i) => (w, i + 1) }.toMap
+    })
 
   private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val vocab: Array[String] = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .where(col("w") =!= "")
-      .distinct()
-      .orderBy("w")
-      .collect()
-      .map(_.getString(0))
-    val idOf = vocab.zipWithIndex.map { case (w, i) => (w, i + 1) }.toMap
+    val idOf = vocabOf(spark, sfDir)
     val mapCol = map(idOf.toSeq.sortBy(_._1).flatMap { case (w, i) => Seq(lit(w), lit(i)) }: _*)
     docs
       .select(
