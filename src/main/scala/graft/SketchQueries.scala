@@ -271,6 +271,46 @@ object SketchQueries {
       .orderBy(col("source"))
   }
 
+  /** The canonical runtime-filter join on the TPC-H-ish tables: build a
+    * Bloom over `o_orderkey` of 'P'-status orders (the selective build
+    * side), pre-filter `lineitem` probes with it, then the exact semi-join
+    * confirms — exact regardless of false positives, with the Bloom pruning
+    * the shuffle (the pattern behind Spark's own
+    * spark.sql.optimizer.runtime.bloomFilter rewrite, SURVEY.md §2.2). */
+  def bloomJoinLineitem(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val buildSide = orders.where(col("o_orderstatus") === "P")
+      .select(col("o_orderkey")).persist()
+    val sketchBytes = buildSide
+      .agg(udaf(new BloomLongAgg(bloomCfg), ExpressionEncoder[Long]())(col("o_orderkey")))
+      .head().getAs[Array[Byte]](0)
+    val prefiltered = lineitem
+      .where(GraftFunctions.bloomMightContain(lit(sketchBytes), col("l_orderkey")))
+    prefiltered
+      .join(buildSide.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+      // quantities are integral doubles; cast BEFORE summing so both engines
+      // sum integers exactly (double-accumulation order is not portable)
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  /** HLL distinct users per event type over the events stream table
+    * (long-typed elements), within bound. */
+  def hllEventUsersBound(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val hllLongUdaf = udaf(new HllLongAgg(K0, K1, hllP), ExpressionEncoder[Long]())
+    val est = events.groupBy(col("event_type")).agg(hllLongUdaf(col("user_id")).as("sk"))
+      .select(col("event_type"), SketchFunctions.hllEstimate(col("sk")).as("est"))
+    val exact = events.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("exact"))
+    est.join(exact, "event_type")
+      .select(
+        col("event_type"),
+        (abs(col("est") - col("exact")) <=
+          greatest(col("exact") * lit(4 * Hll.stdError(hllP)), lit(3.0))).as("within_bound"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact per-doc token count through the tokens table (text analysis:
     * token counting; trivially SQL-checkable). */
   def tokenCountExact(spark: SparkSession, dir: String): DataFrame =

@@ -21,6 +21,7 @@ object SparkEntry {
     "q_bloom_probe_exact" -> (SketchQueries.bloomProbeExact _),
     // Bloom as semi-join runtime filter (§2.2 joins) — exact by design
     "q_bloom_prefilter_semijoin" -> (SketchQueries.bloomPrefilterSemijoin _),
+    "q_bloom_join_lineitem" -> (SketchQueries.bloomJoinLineitem _),
     // unionInto as second-level aggregation (§2.1 row 7)
     "q_bloom_union_global" -> (SketchQueries.bloomUnionGlobal _),
     // fpr() analytic bound vs measured (§2.1 row 12)
@@ -28,6 +29,7 @@ object SparkEntry {
     // sketch family (north rule): estimates within published bounds
     "q_hll_distinct_tokens_bound" -> (SketchQueries.hllDistinctTokensBound _),
     "q_hll_distinct_docs_bound" -> (SketchQueries.hllDistinctDocsBound _),
+    "q_hll_event_users_bound" -> (SketchQueries.hllEventUsersBound _),
     "q_cms_heavyhitter_bound" -> (SketchQueries.cmsHeavyHitterBound _),
     "q_cms_topk" -> ((s: SparkSession, d: String) => SketchQueries.cmsTopK(s, d)),
     "q_bloom_intersect_exact" -> (SketchQueries.bloomIntersectExact _),
@@ -68,6 +70,12 @@ object SparkEntry {
           "GROUP BY source ORDER BY source"),
       "q_bloom_union_global" ->
         s"SELECT count(DISTINCT w) AS n_present FROM ($words) t WHERE w <> ''",
+      "q_bloom_join_lineitem" ->
+        ("SELECT count(*) AS n_lines, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+          "FROM lineitem WHERE l_orderkey IN " +
+          "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')"),
+      "q_hll_event_users_bound" ->
+        "SELECT event_type, true AS within_bound FROM events GROUP BY event_type ORDER BY event_type",
       "q_bloom_fpr_bound" -> boundOracle,
       "q_cms_topk" ->
         ("SELECT source, CAST(rn AS BIGINT) AS rank, CAST(c AS BIGINT) AS est FROM (" +

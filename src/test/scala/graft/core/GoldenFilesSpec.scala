@@ -1,0 +1,58 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden serialized-sketch files (the analogue of the reference's
+  * tests/serialized fixtures, `tests/Main.hs:433-459`): committed
+  * bytes must equal a fresh build forever — any drift in hashing, bit
+  * layout, or the serialization format is a breaking change that must be
+  * caught here, not by a reader of old checkpoints. */
+class GoldenFilesSpec extends AnyFunSuite {
+
+  val k0 = Keys.DefaultK0
+  val k1 = Keys.DefaultK1
+
+  private def golden(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/serialized/$name")
+    assert(in != null, s"missing golden file $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("bloom golden files: byte-identical rebuild, deserialize, probe") {
+    for ((k, log2l) <- Seq((1, 0), (2, 1), (3, 2), (3, 7), (4, 10))) {
+      val cfg = BloomConfig(k0, k1, k, log2l)
+      val words = new Array[Long](cfg.l)
+      (1 to 2 * cfg.sizeBytes).foreach(BlockedBloom.insertInt(words, cfg, _))
+      val fresh = BlockedBloom.toBytes(words, cfg, BlockedBloom.TypeTag.Int)
+      val stored = golden(s"bloom_${k}_$log2l.bin")
+      assert(java.util.Arrays.equals(fresh, stored),
+        s"golden drift at (k=$k, log2l=$log2l) — serialization or hash layout changed")
+      val (cfg2, w2, tag) = BlockedBloom.fromBytes(k0, k1, stored)
+      assert(cfg2 === cfg && tag === BlockedBloom.TypeTag.Int)
+      (1 to 2 * cfg.sizeBytes).foreach(e =>
+        assert(BlockedBloom.containsInt(w2, cfg2, e), s"golden filter lost element $e"))
+    }
+  }
+
+  test("hll golden file: byte-identical rebuild and stable estimate") {
+    val regs = Hll.empty(10)
+    (1 to 5000).foreach(i => Hll.addHash(regs, 10, SipHash.hashInt(k0, k1, i)))
+    val fresh = Hll.toBytes(regs, 10, BlockedBloom.TypeTag.Int, SipHash.hashLong(k0, k1, k0 ^ k1))
+    val stored = golden("hll_10.bin")
+    assert(java.util.Arrays.equals(fresh, stored), "HLL golden drift")
+    val est = Hll.estimate(Hll.fromBytes(stored)._2)
+    assert(math.abs(est - 5000) <= 4 * Hll.stdError(10) * 5000)
+  }
+
+  test("cms golden file: byte-identical rebuild and exact point estimates") {
+    val cms = CmsConfig(k0, k1, 4, 8)
+    val buf = CountMin.empty(cms)
+    (1 to 3000).foreach(i => CountMin.addInt(buf, cms, i % 100))
+    val fresh = CountMin.toBytes(buf, cms, BlockedBloom.TypeTag.Int)
+    val stored = golden("cms_4_8.bin")
+    assert(java.util.Arrays.equals(fresh, stored), "CMS golden drift")
+    val (_, _, buf2, _) = CountMin.fromBytes(stored)
+    assert(CountMin.totalCount(buf2, cms) === 3000L)
+    assert(CountMin.estimateInt(buf2, cms, 5) >= 30L)
+  }
+}
