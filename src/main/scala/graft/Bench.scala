@@ -116,7 +116,7 @@ object Bench {
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(lowCpus, midCpus, cpus))
     var bloomBytes: Array[Byte] = null
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
     // INTERLEAVED rounds: host throughput in this sandbox drifts over tens
     // of minutes (co-tenants), so each round measures every level back to
     // back and the ratio is taken over per-level minima — a block design
