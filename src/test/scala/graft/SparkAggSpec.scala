@@ -198,6 +198,18 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(perCall, ud), "per-call (k, log2l) SQL args ignored")
   }
 
+  test("typed Dataset facade: per-source sketches + probe, no false negatives") {
+    import spark.implicits._
+    val ds = Tokens.table(spark, "/root/testdata/sf0.001").as[Tokens.TokenRow]
+    val sketches = graft.operators.TypedSketchOps.perSourceSketches(ds)
+    val rows = sketches.collect()
+    assert(rows.map(_.n_rows).sum === 500L)
+    rows.foreach(r => assert(r.bloom.nonEmpty && r.hll.nonEmpty && r.cms.nonEmpty))
+    val probed = graft.operators.TypedSketchOps.probeOwnSource(ds, sketches)
+    // no false negatives: every token of every doc is present in its sketch
+    assert(probed.where(col("n_present") =!= col("n_tok")).count() === 0L)
+  }
+
   test("driver contract: entry() returns rows on sf0.001 and every query name has a body") {
     assert(SparkEntry.entry(spark).count() > 0, "entry smoke must return rows")
     // every oracle key refers to an existing query
