@@ -19,23 +19,25 @@ object PipelineQueries {
   /** Exact dedup via 64-bit content fingerprint: distinct fingerprints per
     * source == distinct texts per source (hash is injective in practice and
     * deterministic — a collision would be caught by the oracle). */
-  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("fp", TextPipeline.fingerprintUdf(col("text")))
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.withColumn("fp", TextPipeline.fingerprintCol(d, col("text")))
       .groupBy(col("source"))
       .agg(countDistinct(col("fp")).as("n_uniq_fp"))
       .orderBy(col("source"))
+  }
 
   /** Identical-text duplicate PAIRS per source, counted via fingerprint
     * grouping (c choose 2 per group) — integer-exact. */
-  def exactDupPairs(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("fp", TextPipeline.fingerprintUdf(col("text")))
+  def exactDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.withColumn("fp", TextPipeline.fingerprintCol(d, col("text")))
       .groupBy(col("source"), col("fp"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
       .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_dup_pairs"))
       .orderBy(col("source"))
+  }
 
   /** Integer-exact text-quality rollup per source. */
   def qualityMetrics(spark: SparkSession, dir: String): DataFrame =

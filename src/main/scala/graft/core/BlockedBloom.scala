@@ -217,6 +217,26 @@ object BlockedBloom {
     * different element type. */
   object TypeTag {
     val Int = 1L; val Long = 2L; val String = 3L; val Binary = 4L
+    def name(tag: Long): String = tag match {
+      case Int => "int"; case Long => "bigint"; case String => "string"
+      case Binary => "binary"; case t => s"unknown($t)"
+    }
+  }
+
+  /** Reject a cross-type probe/merge loudly (the reference's typeHash check,
+    * `Internal.hs:789`): probing an element type the filter was not built
+    * for would silently return garbage membership, violating the
+    * no-false-negatives contract. */
+  def requireTypeTag(expected: Long, actual: Long): Unit =
+    if (expected != actual)
+      throw BloomConfig.invalid(
+        s"serialized filter holds ${TypeTag.name(actual)} elements, probed/loaded as ${TypeTag.name(expected)}")
+
+  /** As [[fromBytes]] but also enforces the element-type tag. */
+  def fromBytesTyped(k0: Long, k1: Long, bytes: Array[Byte], expectedTag: Long): (BloomConfig, Array[Long], Long) = {
+    val parsed = fromBytes(k0, k1, bytes)
+    requireTypeTag(expectedTag, parsed._3)
+    parsed
   }
 
   private def keyHash(k0: Long, k1: Long): Long =

@@ -50,17 +50,23 @@ object SketchFunctions extends Serializable {
   private def tagOf(kind: Long, k0: Long, k1: Long): Long =
     SipHash.hashLong(k0, k1, kind)
 
-  private def loadBloom(k0: Long, k1: Long)(bytes: Array[Byte]): graft.plans.LoadedBloomFilter =
-    graft.plans.LoadedBloomFilter.load(k0, k1, bytes)
+  /** Every bloom loader enforces the serialized element-type tag (the
+    * reference's typeHash check, `Internal.hs:789`) — probing an element
+    * type the filter was not built for fails loudly instead of silently
+    * returning garbage membership. The Memo loader tag folds in the
+    * expected type so the same bytes memoized under one probe type are
+    * never served (pre-validation) to another. */
+  private def loadBloom(k0: Long, k1: Long, expectedTag: Long)(bytes: Array[Byte]): graft.plans.LoadedBloomFilter =
+    graft.plans.LoadedBloomFilter.loadTyped(k0, k1, bytes, expectedTag)
 
   /** `bloom_might_contain(sketch, token)` for int elements. No false
     * negatives; false positives at the configured FPR. */
   def bloomMightContainInt(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
-    val tag = tagOf(1L, k0, k1)
+    val tag = tagOf(1L ^ (BlockedBloom.TypeTag.Int << 8), k0, k1)
     val f = udf { (bytes: Array[Byte], x: Int) =>
       if (bytes == null) null
       else {
-        val b = Memo.get(tag, bytes, loadBloom(k0, k1))
+        val b = Memo.get(tag, bytes, loadBloom(k0, k1, BlockedBloom.TypeTag.Int))
         java.lang.Boolean.valueOf(BlockedBloom.containsInt(b.words, b.cfg, x))
       }
     }
@@ -68,11 +74,11 @@ object SketchFunctions extends Serializable {
   }
 
   def bloomMightContainLong(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
-    val tag = tagOf(1L, k0, k1)
+    val tag = tagOf(1L ^ (BlockedBloom.TypeTag.Long << 8), k0, k1)
     val f = udf { (bytes: Array[Byte], x: Long) =>
       if (bytes == null) null
       else {
-        val b = Memo.get(tag, bytes, loadBloom(k0, k1))
+        val b = Memo.get(tag, bytes, loadBloom(k0, k1, BlockedBloom.TypeTag.Long))
         java.lang.Boolean.valueOf(BlockedBloom.containsLong(b.words, b.cfg, x))
       }
     }
@@ -80,11 +86,11 @@ object SketchFunctions extends Serializable {
   }
 
   def bloomMightContainString(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
-    val tag = tagOf(1L, k0, k1)
+    val tag = tagOf(1L ^ (BlockedBloom.TypeTag.String << 8), k0, k1)
     val f = udf { (bytes: Array[Byte], s: String) =>
       if (bytes == null || s == null) null
       else {
-        val b = Memo.get(tag, bytes, loadBloom(k0, k1))
+        val b = Memo.get(tag, bytes, loadBloom(k0, k1, BlockedBloom.TypeTag.String))
         java.lang.Boolean.valueOf(BlockedBloom.containsString(b.words, b.cfg, s))
       }
     }
@@ -94,11 +100,11 @@ object SketchFunctions extends Serializable {
   /** Count of probe tokens present in the sketch — probes a whole token
     * array in one call (avoids an explode when only the count is needed). */
   def bloomCountContainedTokens(k0: Long, k1: Long)(sketch: Column, tokens: Column): Column = {
-    val tag = tagOf(1L, k0, k1)
+    val tag = tagOf(1L ^ (BlockedBloom.TypeTag.Int << 8), k0, k1)
     val f = udf { (bytes: Array[Byte], toks: Seq[Int]) =>
       if (toks == null || bytes == null) if (bytes == null && toks != null) null else java.lang.Long.valueOf(0L)
       else {
-        val b = Memo.get(tag, bytes, loadBloom(k0, k1))
+        val b = Memo.get(tag, bytes, loadBloom(k0, k1, BlockedBloom.TypeTag.Int))
         var n = 0L
         val it = toks.iterator
         while (it.hasNext) if (BlockedBloom.containsInt(b.words, b.cfg, it.next())) n += 1L
@@ -116,7 +122,7 @@ object SketchFunctions extends Serializable {
     * whose key has no sketch probe as not-contained. */
   def bloomProbeIntByKey(k0: Long, k1: Long, sketches: Map[String, Array[Byte]]): (Column, Column) => Column = {
     val loaded: Map[String, (BloomConfig, Array[Long])] = sketches.map { case (key, b) =>
-      val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, b)
+      val (cfg, words, _) = BlockedBloom.fromBytesTyped(k0, k1, b, BlockedBloom.TypeTag.Int)
       key -> ((cfg, words))
     }
     val f = udf { (key: String, x: Int) =>
@@ -130,13 +136,13 @@ object SketchFunctions extends Serializable {
 
   /** As [[bloomProbeIntByKey]] but a single global sketch. */
   def bloomProbeInt(k0: Long, k1: Long, sketch: Array[Byte]): Column => Column = {
-    val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, sketch)
+    val (cfg, words, _) = BlockedBloom.fromBytesTyped(k0, k1, sketch, BlockedBloom.TypeTag.Int)
     val f = udf { (x: Int) => BlockedBloom.containsInt(words, cfg, x) }
     c => f(c)
   }
 
   def bloomProbeString(k0: Long, k1: Long, sketch: Array[Byte]): Column => Column = {
-    val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, sketch)
+    val (cfg, words, _) = BlockedBloom.fromBytesTyped(k0, k1, sketch, BlockedBloom.TypeTag.String)
     val f = udf { (s: String) => s != null && BlockedBloom.containsString(words, cfg, s) }
     c => f(c)
   }

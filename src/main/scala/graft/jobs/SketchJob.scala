@@ -52,12 +52,15 @@ object SketchJob {
     bloomK = 3, bloomLog2l = 12, hllP = 12, cmsDepth = 5, cmsLog2Width = 11,
     numBuckets = 64)
 
-  private def bucketCol(k0: Long, k1: Long, buckets: Int) = {
-    val f = udf { (docId: String) =>
-      (((SipHash.hashString(k0, k1, if (docId == null) "" else docId) >>> 1) % buckets)).toInt
-    }
-    f(col("doc_id"))
-  }
+  /** Deterministic bucket id from doc_id via the NATIVE SipHash expression
+    * (codegen, no UDF encoder boundary). Same value as the previous UDF:
+    * `(hashString(coalesce(doc_id, "")) >>> 1) % buckets` — the shifted hash
+    * is non-negative, so `%` == `pmod`. Requires expressions registered on
+    * the session (runIncrement does). */
+  private def bucketCol(k0: Long, k1: Long, buckets: Int) =
+    (shiftrightunsigned(
+      graft.plans.GraftFunctions.sipHash64(coalesce(col("doc_id"), lit("")), k0, k1), 1)
+      % buckets).cast("int")
 
   /** Run directories with a completed (_SUCCESS-marked) parquet commit.
     * Each runIncrement writes its own run dir, so commits are atomic at
@@ -92,6 +95,7 @@ object SketchJob {
   def runIncrement(spark: SparkSession, tokens: DataFrame, ckptDir: String,
       cfg: JobConfig = DefaultConfig,
       failAfterBuckets: Option[Int] = None): Int = {
+    graft.plans.GraftFunctions.registerExpressions(spark)
     val done = committedBuckets(spark, ckptDir)
     val tokensEnc = ExpressionEncoder[Array[Int]]()
     val bloomU = udaf(new BloomTokensAgg(cfg.bloomCfg), tokensEnc)

@@ -24,21 +24,21 @@ object TextPipeline {
 
   // ------------------------------------------------------ fingerprinting
 
-  /** 64-bit rolling (SipHash) fingerprint of the full token stream of a
-    * text — injective-in-practice content id for exact dedup. */
-  def fingerprintUdf: Column => Column = {
-    val f = udf { (text: String) =>
-      if (text == null) 0L
-      else SipHash.hashString(K0, K1, text)
-    }
-    c => f(c)
+  /** 64-bit SipHash content fingerprint — injective-in-practice content id
+    * for exact dedup. Runs through the native codegen expression
+    * (`SipHash64Expr`, no UDF encoder boundary); same hash value as
+    * `SipHash.hashString(K0, K1, text)`, with null texts fingerprinting to
+    * 0L (the pre-native-UDF convention — countDistinct must see nulls). */
+  def fingerprintCol(df: DataFrame, textCol: Column): Column = {
+    graft.plans.GraftFunctions.registerExpressions(df.sparkSession)
+    coalesce(graft.plans.GraftFunctions.sipHash64(textCol), lit(0L))
   }
 
   /** Exact dedup via content fingerprint: one row per distinct fingerprint,
     * keeping the lexically-smallest doc_id (deterministic winner). */
   def dedupExactByFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("fp", fingerprintUdf(col(textCol)))
+      .withColumn("fp", fingerprintCol(docs, col(textCol)))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)

@@ -13,7 +13,8 @@ import graft.core.{BlockedBloom, BloomConfig, Keys, SipHash}
 
 /** Deserialized, probe-ready blocked Bloom filter — the object referenced
   * from generated code (one instance per plan, shipped once per task). */
-final class LoadedBloomFilter(val cfg: BloomConfig, val words: Array[Long]) extends Serializable {
+final class LoadedBloomFilter(val cfg: BloomConfig, val words: Array[Long], val typeTag: Long)
+    extends Serializable {
   def containsInt(x: Int): Boolean = BlockedBloom.containsInt(words, cfg, x)
   def containsLong(x: Long): Boolean = BlockedBloom.containsLong(words, cfg, x)
   def containsUTF8(s: UTF8String): Boolean =
@@ -27,8 +28,18 @@ final class LoadedBloomFilter(val cfg: BloomConfig, val words: Array[Long]) exte
 
 object LoadedBloomFilter {
   def load(k0: Long, k1: Long, bytes: Array[Byte]): LoadedBloomFilter = {
-    val (cfg, words, _) = BlockedBloom.fromBytes(k0, k1, bytes)
-    new LoadedBloomFilter(cfg, words)
+    val (cfg, words, tag) = BlockedBloom.fromBytes(k0, k1, bytes)
+    new LoadedBloomFilter(cfg, words, tag)
+  }
+
+  /** Load + enforce the serialized element-type tag (the reference's
+    * typeHash check, `Internal.hs:789`): a filter built over one element
+    * type refuses to be probed as another — cross-type probes would
+    * silently return garbage membership. */
+  def loadTyped(k0: Long, k1: Long, bytes: Array[Byte], expectedTag: Long): LoadedBloomFilter = {
+    val f = load(k0, k1, bytes)
+    BlockedBloom.requireTypeTag(expectedTag, f.typeTag)
+    f
   }
 }
 
@@ -58,11 +69,21 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
       case t => TypeCheckResult.TypeCheckFailure(s"element type $t not supported (int/bigint/string)")
     }
 
+  /** Element-type tag the probe side implies — enforced against the
+    * serialized filter's tag at load time (once per task / per distinct
+    * sketch, never per row). */
+  private def expectedTag: Long = right.dataType match {
+    case IntegerType => BlockedBloom.TypeTag.Int
+    case LongType => BlockedBloom.TypeTag.Long
+    case StringType => BlockedBloom.TypeTag.String
+    case t => throw new IllegalStateException(s"unreachable: checked type $t")
+  }
+
   @transient private lazy val foldedFilter: LoadedBloomFilter =
     if (left.foldable) {
       val bytes = left.eval(null)
       if (bytes == null) null
-      else LoadedBloomFilter.load(k0, k1, bytes.asInstanceOf[Array[Byte]])
+      else LoadedBloomFilter.loadTyped(k0, k1, bytes.asInstanceOf[Array[Byte]], expectedTag)
     } else null
 
   // non-foldable path: single-entry content cache (never returns the wrong
@@ -76,7 +97,7 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
       if (cachedBytes == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
         // load BEFORE updating the key: a throwing load must not leave the
         // cache claiming these bytes map to the previous filter
-        val loaded = LoadedBloomFilter.load(k0, k1, bytes)
+        val loaded = LoadedBloomFilter.loadTyped(k0, k1, bytes, expectedTag)
         cachedBytes = bytes.clone()
         cachedFilter = loaded
       }
@@ -202,6 +223,16 @@ object GraftFunctions {
       s"$BloomMightContainName expects (sketch BINARY, elem, [k0 BIGINT, k1 BIGINT])")
   }
 
+  /** Register just the two native expressions (cheap, idempotent) — enough
+    * for the Column-API entry points below; `register` layers the SQL UDAF
+    * surface on top. */
+  def registerExpressions(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomMightContainName, builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SipHash64Name, sipBuilder, "built-in")
+  }
+
   /** Register expressions AND the sketch UDAFs on an existing session, so
     * the whole library is reachable from pure SQL:
     * `SELECT source, graft_hll_estimate(graft_hll_tokens(tokens)) FROM t GROUP BY source`. */
@@ -210,10 +241,7 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.{udaf, udf}
     import graft.core.{BloomConfig, CmsConfig, Hll}
     import graft.operators.SketchAggs._
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      BloomMightContainName, builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SipHash64Name, sipBuilder, "built-in")
+    registerExpressions(spark)
     val tokensEnc = ExpressionEncoder[Array[Int]]()
     val bloomCfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 12)
     val cmsCfg = CmsConfig(Keys.DefaultK0, Keys.DefaultK1, 5, 11)
@@ -234,6 +262,10 @@ object GraftFunctions {
 
   def sipHash64(elem: Column): Column =
     org.apache.spark.sql.functions.call_function(SipHash64Name, elem)
+
+  def sipHash64(elem: Column, k0: Long, k1: Long): Column =
+    org.apache.spark.sql.functions.call_function(SipHash64Name, elem,
+      org.apache.spark.sql.functions.lit(k0), org.apache.spark.sql.functions.lit(k1))
 }
 
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injection. */

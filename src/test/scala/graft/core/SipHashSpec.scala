@@ -42,6 +42,35 @@ class SipHashSpec extends AnyFunSuite {
     }
   }
 
+  // vectors_sip128 from the SipHash reference implementation (same key,
+  // same messages), as 16-byte LE output: first 8 bytes = `lo`, next 8 =
+  // `hi` of graft's (hi, lo). Anchors the 128-bit finalization constants
+  // (0xee init/first-half, 0xdd second-half) that CMS and the 128-bit
+  // Bloom path depend on.
+  val expected128: Seq[String] = Seq(
+    "a3817f04ba25a8e66df67214c7550293",
+    "da87c1d86b99af44347659119b22fc45",
+    "8177228da4a45dc7fca38bdef60affe4",
+    "9c70b60c5267a94e5f33b6b02985ed51",
+    "f88164c12d9c8faf7d0f6e7c7bcd5579",
+    "1368875980776f8854527a07690e9627",
+    "14eeca338b208613485ea0308fd7a15e",
+    "a1f1ebbed8dbc153c0b84aa61ff08239"
+  )
+
+  test("matches the published SipHash-2-4 128-bit test vectors") {
+    def le64(hex: String): Long =
+      java.lang.Long.reverseBytes(java.lang.Long.parseUnsignedLong(hex, 16))
+    for (len <- expected128.indices) {
+      val msg = Array.tabulate[Byte](len)(_.toByte)
+      val (hi, lo) = SipHash.hash128(k0, k1, msg)
+      assert(lo === le64(expected128(len).substring(0, 16)),
+        s"128-bit lo-half mismatch at message length $len")
+      assert(hi === le64(expected128(len).substring(16)),
+        s"128-bit hi-half mismatch at message length $len")
+    }
+  }
+
   test("hash128 short-input fast paths agree with the byte-array path") {
     val rnd = new scala.util.Random(43)
     for (_ <- 0 until 2000) {

@@ -132,6 +132,42 @@ class BloomMightContainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h === graft.core.SipHash.hashString(7L, 9L, "alpha"))
   }
 
+  test("cross-type probe is rejected loudly (serialized type tag enforced)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def chainMsg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    // Int-built filter probed with a Long column: silently-garbage
+    // membership in round 1 (ADVICE), must now throw on load.
+    val skInt = buildSketch(Seq(1, 2, 3))
+    val exFold = intercept[Throwable] {
+      (1L to 3L).toDF("x")
+        .where(GraftFunctions.bloomMightContain(lit(skInt), col("x"))).count()
+    }
+    assert(chainMsg(exFold).contains("probed/loaded as bigint"), s"unexpected: ${chainMsg(exFold)}")
+
+    // non-foldable sketch column path enforces too
+    val exCol = intercept[Throwable] {
+      Seq((skInt, "seven")).toDF("sk", "s")
+        .where(GraftFunctions.bloomMightContain(col("sk"), col("s"))).count()
+    }
+    assert(chainMsg(exCol).contains("probed/loaded as string"), s"unexpected: ${chainMsg(exCol)}")
+
+    // UDF surface enforces too
+    val exUdf = intercept[Throwable] {
+      Seq((skInt, 7L)).toDF("sk", "x")
+        .where(graft.functions.SketchFunctions.bloomMightContainLong(
+          Keys.DefaultK0, Keys.DefaultK1)(col("sk"), col("x"))).count()
+    }
+    assert(chainMsg(exUdf).contains("probed/loaded as bigint"), s"unexpected: ${chainMsg(exUdf)}")
+
+    // matching type still probes fine after the guard
+    val ok = Seq(1, 2, 3).toDF("t")
+      .where(GraftFunctions.bloomMightContain(lit(skInt), col("t"))).count()
+    assert(ok === 3L)
+  }
+
   test("long and string element types") {
     import spark.implicits._
     GraftFunctions.register(spark)
