@@ -177,12 +177,16 @@ object PipelineQueries {
     Seq((full == exact, pruned == 10L)).toDF("full_probe_exact", "pruned_returns_k")
   }
 
-  /** Multimodal stub pipeline: synthetic binary media -> batched feature
-    * extraction (mapPartitions) -> per-(source,type) stats. Deterministic. */
+  /** Multimodal pipeline with REAL decode: synthetic-but-real PNG/WAV/frame
+    * payloads -> batched decode (mapPartitions; javax.imageio +
+    * javax.sound.sampled) -> per-(source, media_type) stats. The decoded
+    * dimensions/intensity/frames are closed-form in media_id, so the DuckDB
+    * oracle re-derives them and any encode/decode defect breaks the match. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(spark, 2000, 8)
     Multimodal.featureStats(Multimodal.extractFeatures(media))
-      .select(col("source"), col("media_type"), col("n"), col("total_bytes"), col("total_frames"))
+      .select(col("source"), col("media_type"), col("n"),
+        col("total_width"), col("total_height"), col("total_frames"), col("sum_intensity"))
       .orderBy(col("source"), col("media_type"))
   }
 }

@@ -151,6 +151,25 @@ object SparkEntry {
           "(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e])) * " +
           "sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in qe]))) AS cos " +
           "FROM c, q ORDER BY cos DESC, vec_id ASC LIMIT 10) t"),
+      // the multimodal pipeline decodes REAL PNG/WAV/frame-container
+      // payloads whose decoded features are closed-form in media_id
+      // (Multimodal.{width,height,gray,frames}Of); the oracle re-derives
+      // the closed form over the same id range — any encode or decode
+      // defect breaks the match. total_bytes (codec-dependent) is
+      // intentionally not part of the checked projection.
+      "q_multimodal_features" ->
+        ("WITH m AS (SELECT range AS id FROM range(0, 2000)), " +
+          "f AS (SELECT id, " +
+          "CASE CAST(id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+          "'src' || CAST(id % 4 AS VARCHAR) AS source, " +
+          "CASE WHEN id % 3 = 1 THEN 0 ELSE 16 + id % 13 END AS width, " +
+          "CASE WHEN id % 3 = 1 THEN 0 ELSE 16 + id % 7 END AS height, " +
+          "CASE WHEN id % 3 = 2 THEN 1 + id % 5 ELSE 1 END AS frames, " +
+          "id % 256 AS intensity FROM m) " +
+          "SELECT source, media_type, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(width) AS BIGINT) AS total_width, CAST(sum(height) AS BIGINT) AS total_height, " +
+          "CAST(sum(frames) AS BIGINT) AS total_frames, CAST(sum(intensity) AS BIGINT) AS sum_intensity " +
+          "FROM f GROUP BY source, media_type ORDER BY source, media_type"),
       // the language-ID heuristic re-expressed in SQL: marker-word votes
       // over the distinct lowercased word set, ties to the lexically
       // largest language (maxBy on (score, lang)), CJK/Cyrillic ranges

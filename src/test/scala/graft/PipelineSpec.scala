@@ -168,16 +168,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("multimodal: batched stub extraction is deterministic and complete") {
+  test("multimodal: real decode recovers the encoded dimensions/intensity, batch-invariant") {
     val media = Multimodal.syntheticMedia(spark, 500, 4)
     val f1 = Multimodal.extractFeatures(media, batchSize = 32).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media, batchSize = 7).collect().sortBy(_.media_id)
     assert(f1.length === 500)
     assert(f1.toSeq === f2.toSeq, "batch size must not change extracted features")
-    assert(f1.forall(f => f.width >= 16 && f.height >= 16 && f.byte_len >= 256))
-    assert(f1.exists(_.frames_sampled > 1), "video rows must sample multiple frames")
+    // every decoded feature equals its closed form: the real codec must
+    // roundtrip exactly (PNG gray 8-bit and PCM_U8 are lossless)
+    f1.foreach { f =>
+      val id = f.media_id
+      assert(f.media_type === Multimodal.typeOf(id))
+      f.media_type match {
+        case "image" =>
+          assert(f.width === Multimodal.widthOf(id) && f.height === Multimodal.heightOf(id))
+          assert(f.frames_sampled === 1)
+        case "audio" =>
+          assert(f.width === 0 && f.height === 0 && f.frames_sampled === 1)
+        case "video" =>
+          assert(f.width === Multimodal.widthOf(id) && f.height === Multimodal.heightOf(id))
+          assert(f.frames_sampled === Multimodal.framesOf(id))
+      }
+      assert(f.mean_intensity === Multimodal.grayOf(id).toDouble,
+        s"decoded intensity drifted for media $id (${f.media_type})")
+    }
+    assert(f1.exists(_.frames_sampled > 1), "video rows must decode multiple frames")
     val stats = Multimodal.featureStats(Multimodal.extractFeatures(media)).collect()
     assert(stats.map(_.getLong(2)).sum === 500L)
+  }
+
+  test("multimodal: corrupted payloads fail loudly, not silently") {
+    val bad = Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3), "src0")
+    intercept[Exception](Multimodal.decodeOne(bad))
+    val badVideo = Multimodal.MediaRow(2L, "video", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1), "src0")
+    intercept[Exception](Multimodal.decodeOne(badVideo))
   }
 
   test("language id: deterministic and sane on the synthetic corpus") {
