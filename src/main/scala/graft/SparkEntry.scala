@@ -50,8 +50,12 @@ object SparkEntry {
     "q_embedding_topk" -> (PipelineQueries.embeddingTopK _),
     "q_srp_ann_recall" -> (PipelineQueries.srpAnnRecall _),
     "q_ivf_topk_matches" -> (PipelineQueries.ivfTopkMatches _),
-    // multimodal plumbing (stubbed decode, real batching)
-    "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _)
+    // multimodal pipeline (real PNG/WAV/frame decode, batched)
+    "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _),
+    // Structured Streaming surface: windowed sketch build + probe
+    "q_streaming_bloom_windows" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingSketch.replayBloomWindows(
+        s, dir, SketchQueries.bloomCfg, SketchQueries.hllP))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,6 +174,15 @@ object SparkEntry {
           "CAST(sum(width) AS BIGINT) AS total_width, CAST(sum(height) AS BIGINT) AS total_height, " +
           "CAST(sum(frames) AS BIGINT) AS total_frames, CAST(sum(intensity) AS BIGINT) AS sum_intensity " +
           "FROM f GROUP BY source, media_type ORDER BY source, media_type"),
+      // streaming windows are deterministic functions of doc_id (epoch0 +
+      // doc_id mod 600 s, 60 s windows); probing each window's Bloom with
+      // its own token stream counts exactly (no false negatives), so the
+      // oracle recomputes per-(window, source) token counts directly.
+      // HAVING > 0: zero-token groups produce no probe rows in Spark.
+      "q_streaming_bloom_windows" ->
+        ("SELECT CAST((doc_id % 600) // 60 AS BIGINT) AS win, source, " +
+          "CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_present " +
+          "FROM documents GROUP BY win, source HAVING n_present > 0 ORDER BY win, source"),
       // the language-ID heuristic re-expressed in SQL: marker-word votes
       // over the distinct lowercased word set, ties to the lexically
       // largest language (maxBy on (score, lang)), CJK/Cyrillic ranges

@@ -1,6 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
@@ -39,6 +42,73 @@ object StreamingSketch {
         hllU(col("tokens")).as("hll"),
         count(lit(1)).as("n_rows"),
         sum(expr("size(tokens)")).as("n_tokens"))
+  }
+
+  /** Driver-checkable streaming query (SparkEntry `q_streaming_bloom_windows`):
+    * replay the token fixture through a MemoryStream in several
+    * out-of-order micro-batches (the sandbox stand-in for a Kafka/file
+    * `readStream`), build per-(event-time window, source) Bloom sketches
+    * under Structured Streaming, then probe every finished window's sketch
+    * with that window's own token stream — no false negatives, so the
+    * per-(window, source) present-count equals the exact token count,
+    * which DuckDB recomputes from `documents` directly.
+    *
+    * Event time is synthetic-but-deterministic: epoch0 + (doc_id mod 600)
+    * seconds, giving ten 1-minute windows. Windows are keyed by absolute
+    * epoch arithmetic (timezone-proof). */
+  def replayBloomWindows(spark: SparkSession, dir: String,
+      bloomCfg: BloomConfig, hllP: Int): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val epoch0 = Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    val t = graft.sources.Tokens.table(spark, dir)
+    // fixture replay: rows leave the cluster once, as a stream would arrive.
+    // Three interleaved chunks -> multiple micro-batches with out-of-order
+    // event time (merge order-insensitivity is the property under test).
+    val rows = t.select(col("doc_id"), col("source"), col("tokens")).collect().map { r =>
+      val id = r.getString(0).toLong
+      (Timestamp.from(Instant.ofEpochSecond(epoch0 + id % 600)),
+        r.getString(1),
+        r.getAs[scala.collection.Seq[Int]](2).toArray)
+    }
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val streamed = stream.toDF().toDF("ts", "source", "tokens")
+    // watermark covers the whole 600 s replay span: the chunks interleave
+    // event time arbitrarily, and this query asserts exact counts, so no
+    // replayed row may be dropped as late (late-drop semantics has its own
+    // append-mode test in StreamingSketchSpec)
+    val windowed = perSourceWindowedSketches(
+      streamed, "ts", watermarkDelay = "660 seconds", windowDuration = "60 seconds",
+      bloomCfg, hllP)
+    val sinkName = "graft_stream_windows"
+    spark.catalog.dropTempView(sinkName)
+    val query = windowed.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try {
+      (0 until 3).foreach { chunk =>
+        stream.addData(rows.filter(r => r._3.length % 3 == chunk).toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val windows = spark.table(sinkName).select(
+      ((col("window.start").cast("long") - epoch0) / 60).cast("long").as("win"),
+      col("source"), col("bloom"))
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val probe = t.select(
+      ((col("doc_id").cast("long") % 600) / 60).cast("long").as("win"),
+      col("source"), explode(col("tokens")).as("token"))
+    probe
+      .join(broadcast(windows), Seq("win", "source"))
+      .where(graft.plans.GraftFunctions.bloomMightContain(col("bloom"), col("token")))
+      .groupBy(col("win"), col("source"))
+      .agg(count(lit(1)).as("n_present"))
+      .orderBy(col("win"), col("source"))
   }
 
   /** Streaming heavy-hitter sketches: count-min per (window, source). */
