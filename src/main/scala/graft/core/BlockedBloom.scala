@@ -196,6 +196,33 @@ object BlockedBloom {
     out
   }
 
+  /** Cross-size combine (the reference's `combine`, which serves both
+    * `unionInto` and `intersectionInto` across sizes, `Internal.hs:509-550`):
+    * folds the larger filter down to the smaller `log2l` first, then
+    * word-wise OR (union, lossless) or AND (intersection, lossy). Requires
+    * the same key, `k` and hash width; returns fresh words + the combined
+    * config. */
+  def combine(wa: Array[Long], cfgA: BloomConfig, wb: Array[Long], cfgB: BloomConfig,
+      intersection: Boolean): (Array[Long], BloomConfig) = {
+    require(cfgA.k0 == cfgB.k0 && cfgA.k1 == cfgB.k1, "combine: SipKey mismatch")
+    require(cfgA.k == cfgB.k, s"combine: k mismatch ${cfgA.k} vs ${cfgB.k}")
+    require(cfgA.hash64Enough == cfgB.hash64Enough,
+      "combine: hash-width mismatch (different-size filters must share the hash path)")
+    val target = math.min(cfgA.log2l, cfgB.log2l)
+    val fa = if (cfgA.log2l == target) wa.clone() else fold(wa, target)
+    val fb = if (cfgB.log2l == target) wb else fold(wb, target)
+    val out = if (intersection) intersectInPlace(fa, fb) else unionInPlace(fa, fb)
+    (out, if (cfgA.log2l == target) cfgA else cfgB)
+  }
+
+  /** Cross-size union (lossless w.r.t. membership at the folded size). */
+  def unionFold(wa: Array[Long], cfgA: BloomConfig, wb: Array[Long], cfgB: BloomConfig): (Array[Long], BloomConfig) =
+    combine(wa, cfgA, wb, cfgB, intersection = false)
+
+  /** Cross-size intersection (lossy FPR-wise, never loses a common element). */
+  def intersectFold(wa: Array[Long], cfgA: BloomConfig, wb: Array[Long], cfgB: BloomConfig): (Array[Long], BloomConfig) =
+    combine(wa, cfgA, wb, cfgB, intersection = true)
+
   /** Fraction of set bits (diagnostic / saturation metric). */
   def loadFactor(words: Array[Long]): Double = {
     var bits = 0L

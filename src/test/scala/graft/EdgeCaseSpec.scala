@@ -91,16 +91,80 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Kll.fromBytes(emptyKll).quantile(0.5).isNaN)
   }
 
+  test("cross-size intersectFold/unionFold: common elements survive, key/k mismatches rejected") {
+    val small = BloomConfig(K0, K1, 3, 8)
+    val large = BloomConfig(K0, K1, 3, 11)
+    val setA = (1 to 300).toSet
+    val setB = (200 to 500).toSet
+    val wa = new Array[Long](small.l)
+    setA.foreach(BlockedBloom.insertInt(wa, small, _))
+    val wb = new Array[Long](large.l)
+    setB.foreach(BlockedBloom.insertInt(wb, large, _))
+    // intersection across sizes: folds to log2l=8; no common element lost
+    val (wi, ci) = BlockedBloom.intersectFold(wa, small, wb, large)
+    assert(ci.log2l === 8)
+    (setA intersect setB).foreach(t =>
+      assert(BlockedBloom.containsInt(wi, ci, t), s"intersection lost common element $t"))
+    // union across sizes: every element of either side present
+    val (wu, cu) = BlockedBloom.unionFold(wa, small, wb, large)
+    (setA union setB).foreach(t => assert(BlockedBloom.containsInt(wu, cu, t)))
+    // inputs not mutated (combine clones/folds)
+    val waCheck = new Array[Long](small.l)
+    setA.foreach(BlockedBloom.insertInt(waCheck, small, _))
+    assert(wa.sameElements(waCheck), "combine must not mutate its inputs")
+    // guards
+    assertThrows[IllegalArgumentException](
+      BlockedBloom.intersectFold(wa, small, wb, BloomConfig(K0 + 1, K1, 3, 11)))
+    assertThrows[IllegalArgumentException](
+      BlockedBloom.intersectFold(wa, small, new Array[Long](1 << 11), BloomConfig(K0, K1, 4, 11)))
+  }
+
+  test("approxNewCount: exact sequential new-count per task, summed across partitions") {
+    // direct Aggregator semantics: replicate the reference's sequential
+    // insert loop and require the SAME count (deterministic, fixed key)
+    val agg = new BloomTokensNewCountAgg(cfg)
+    val rows = Seq(Array(1, 2, 3), Array(2, 3, 4), Array(1, 1, 5), Array.empty[Int])
+    val buf = rows.foldLeft(agg.zero)(agg.reduce)
+    val expectedWords = new Array[Long](cfg.l)
+    var expectedNew = 0L
+    rows.flatten.foreach(t => if (BlockedBloom.insertInt(expectedWords, cfg, t)) expectedNew += 1L)
+    val out = agg.finish(buf)
+    assert(out.approx_new === expectedNew)
+    assert(BlockedBloom.fromBytes(K0, K1, out.bloom)._2.sameElements(expectedWords))
+    // distributed: counts sum across merged partials (upper bound on the
+    // sequential count: 2 and 3 are double-counted here by design)
+    val b1 = agg.reduce(agg.zero, Array(1, 2, 3))
+    val b2 = agg.reduce(agg.zero, Array(2, 3, 4))
+    val merged = agg.finish(agg.merge(b1, b2))
+    assert(merged.approx_new === 6L)
+    // and through the Spark surface
+    val d = df(Seq(Row("a", Seq(1, 2, 3)), Row("a", Seq(2, 3, 4))), parts = 1)
+    val u = udaf(new BloomTokensNewCountAgg(cfg), ExpressionEncoder[Array[Int]]())
+    val row = d.groupBy(col("source")).agg(u(col("tokens")).as("s")).head()
+    val s = row.getStruct(1)
+    assert(s.getAs[Long]("approx_new") === 4L, "single-partition build must be sequential-exact")
+  }
+
+  test("cms_topk exactness precondition: vocabulary much smaller than CMS width") {
+    // q_cms_topk's exactness argument (SketchQueries.cmsTopK) requires the
+    // fixture vocabulary to stay far below the CMS width; fail loudly here
+    // if a fixture change ever breaks that silent assumption.
+    val vocab = graft.sources.Tokens.vocabSize(spark, "/root/testdata/sf0.001")
+    val width = 1 << SketchQueries.cmsCfg.log2Width
+    assert(vocab * 8 <= width,
+      s"vocab $vocab too close to CMS width $width: q_cms_topk estimates may collide")
+  }
+
   test("HLL merge rejects mismatched precision; bloom merge rejects mismatched k") {
     val a = Hll.empty(10)
     val b = Hll.empty(12)
     assertThrows[IllegalArgumentException](Hll.merge(a, b))
     val m = new graft.jobs.HllBytesMergeAgg()
     assertThrows[IllegalArgumentException](
-      m.merge(Hll.toBytes(a, 10, 1L, 0L), Hll.toBytes(b, 12, 1L, 0L)))
+      m.reduce(m.reduce(m.zero, Hll.toBytes(a, 10, 1L, 0L)), Hll.toBytes(b, 12, 1L, 0L)))
     val mergeAgg = new BloomMergeAgg(K0, K1)
     val s1 = BlockedBloom.toBytes(new Array[Long](1 << 8), BloomConfig(K0, K1, 3, 8), 1L)
     val s2 = BlockedBloom.toBytes(new Array[Long](1 << 8), BloomConfig(K0, K1, 4, 8), 1L)
-    assertThrows[IllegalArgumentException](mergeAgg.merge(s1, s2))
+    assertThrows[IllegalArgumentException](mergeAgg.reduce(mergeAgg.reduce(mergeAgg.zero, s1), s2))
   }
 }

@@ -221,13 +221,15 @@ class SketchFamilySpec extends AnyFunSuite {
     (1 to 100).foreach(i => Hll.addHash(hB, 10, SipHash.hashInt(3, 4, i)))
     val hllMerge = new graft.jobs.HllBytesMergeAgg()
     assertThrows[IllegalArgumentException](
-      hllMerge.merge(Hll.toBytes(hA, 10, 1L, 111L), Hll.toBytes(hB, 10, 1L, 222L)))
+      hllMerge.reduce(hllMerge.reduce(hllMerge.zero, Hll.toBytes(hA, 10, 1L, 111L)),
+        Hll.toBytes(hB, 10, 1L, 222L)))
     val cmsA = CmsConfig(1, 2, 5, 11); val cmsB = CmsConfig(3, 4, 5, 11)
     val bufA = CountMin.empty(cmsA); val bufB = CountMin.empty(cmsB)
     CountMin.addInt(bufA, cmsA, 7); CountMin.addInt(bufB, cmsB, 7)
     val cmsMerge = new graft.jobs.CmsBytesMergeAgg()
     assertThrows[IllegalArgumentException](
-      cmsMerge.merge(CountMin.toBytes(bufA, cmsA, 1L), CountMin.toBytes(bufB, cmsB, 1L)))
+      cmsMerge.reduce(cmsMerge.reduce(cmsMerge.zero, CountMin.toBytes(bufA, cmsA, 1L)),
+        CountMin.toBytes(bufB, cmsB, 1L)))
   }
 
   test("KLL: rng state survives serialization (no offset replay after resume)") {
