@@ -71,7 +71,15 @@ object Bench {
       if (phases == "scaling") Seq.empty[(String, Double)]
       else {
         val spark1 = session(cpus)
-        val qs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+        // warm-up lap: one untimed pass over the whole surface so the
+        // timed pass measures steady state instead of charging ~28 s of
+        // JVM/JIT/parquet-cache warm-up to whichever query runs first
+        // (round-1 driver bench: q_bloom_probe_exact 30 s cold vs 2 s warm)
+        sorted.foreach { case (_, fn) =>
+          try fn(spark1, sfDir).count() catch { case _: Throwable => () }
+        }
+        val qs = sorted.map { case (name, fn) =>
           val (_, sec) =
             try time(fn(spark1, sfDir).count())
             catch { case _: Throwable => (-1L, -1.0) }
@@ -82,6 +90,14 @@ object Bench {
         SparkSession.clearDefaultSession()
         qs
       }
+
+    // iteration mode: phase 1 only (SPARK_GRAFT_PHASES=queries)
+    if (phases == "queries") {
+      val qJson = queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val totalSec = queries.map(_._2).filter(_ >= 0).sum
+      println(f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","queries":$qJson%s,"sf":"$sfDir%s"}""")
+      return
+    }
 
     // ---- phase 2: synthesize the bench token table once (deterministic) ----
     val benchPath = s"/tmp/graft_bench_tokens_$benchDocs.parquet"
@@ -183,11 +199,20 @@ object Bench {
     val levelJson = levels.map { n =>
       f""""tokens_per_sec_n$n":${throughput(n)._1}%.0f,"sec_n$n":${throughput(n)._2}%.3f"""
     }.mkString(",")
+    // per-level-pair efficiencies with the regime IN the field name, so a
+    // JSON consumer cannot mistake the low-core ratio for full-scale
+    // efficiency (ADVICE round 1); "scaling_efficiency" stays the headline
+    // N -> 4N figure measured at the pair named by scaling_efficiency_pair.
+    val pairJson = levels.sliding(2).collect { case Seq(a, b) =>
+      val e = (throughput(b)._1 / throughput(a)._1) / (b.toDouble / a)
+      f""""scaling_efficiency_n${a}_n$b":$e%.3f"""
+    }.mkString(",")
     println(
       f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","queries":$qJson%s,"sf":"$sfDir%s",""" +
         s""""sketch_build_tokens":$totalTokens,$levelJson,""" +
         f""""scaling_levels":"${levels.mkString(",")}%s",""" +
-        f""""scaling_efficiency":$efficiency%.3f,"scaling_efficiency_saturated":$effHigh%.3f,""" +
+        f""""scaling_efficiency":$efficiency%.3f,"scaling_efficiency_pair":"$l0->$l1",""" +
+        f""""scaling_efficiency_saturated":$effHigh%.3f,$pairJson%s,""" +
         f""""probes_per_sec_n$cpus":${probeTotal / probeSec}%.0f,""" +
         f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}""")
   }

@@ -121,9 +121,16 @@ object PipelineQueries {
     * reporting it. */
   def srpAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val threshold = 0.6
+    // near-duplicate regime: 8 bands x 8 bits from 64 planes. Selective
+    // bands (256 buckets each) keep bucket collisions ~n/256 per band, so
+    // candidates stay near-linear in n — round 1 used 4-bit bands, whose
+    // 16 buckets made ~40% of ALL pairs candidates (quadratic at scale).
+    // Asymptotic recall at cos=0.9 is 1-(1-0.856^8)^8 = 0.935 and rises
+    // fast above it (0.99 at cos 0.95); the planted-corpus recall test in
+    // PipelineSpec exercises exactly this parameter set.
+    val threshold = 0.9
     val sampleN = 128
-    val approx = Similarity.srpNearDups(emb, "vec_id", "embedding", b = 32, chunks = 8, threshold = threshold)
+    val approx = Similarity.srpNearDups(emb, "vec_id", "embedding", b = 64, chunks = 8, threshold = threshold)
       .select(col("id_a"), col("id_b")).persist()
     graft.plans.GraftFunctions.registerExpressions(spark)
     val sampleIds = emb

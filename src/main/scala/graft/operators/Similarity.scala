@@ -126,10 +126,14 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Diagnostic-visible alias (tools.SrpProbe times the banding stage). */
+  final class SrpChunkerPublic(b: Int, chunks: Int, bitsPerChunk: Int)
+      extends SrpChunker(b, chunks, bitsPerChunk)
+
   /** SRP banding function with per-executor cached hyperplanes (the matrix
     * is deterministic from (plane, dim), so lazily building it per task is
     * safe; rebuilding it per ROW would cost b*dim SipHash calls each). */
-  private final class SrpChunker(b: Int, chunks: Int, bitsPerChunk: Int)
+  private[operators] class SrpChunker(b: Int, chunks: Int, bitsPerChunk: Int)
       extends (Array[Float] => Array[Int]) with Serializable {
     @transient private var planes: Array[Array[Double]] = _
     override def apply(emb: Array[Float]): Array[Int] = {

@@ -105,6 +105,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"SRP recall ${approx.size}/${exact.size} below 0.9")
   }
 
+  test("SRP-LSH near-dup regime (b=64, 8x8-bit bands, cos>=0.9): recall on a planted corpus") {
+    import spark.implicits._
+    // deterministic planted corpus: 200 base vectors + 60 perturbed copies
+    // (the perturbed pairs land at cos ~0.93-0.99); same parameters as the
+    // production query q_srp_ann_recall
+    def unit(seed: Long, dim: Int): Array[Float] = Array.tabulate(dim) { j =>
+      val h = graft.core.SipHash.hashLong(11L, seed, j.toLong)
+      ((h >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
+    }
+    val dim = 32
+    val base = (0L until 200L).map(i => (i, unit(i, dim)))
+    val dups = (0L until 60L).map { i =>
+      val v = unit(i, dim)
+      val noise = unit(i + 100000L, dim)
+      val scale = 0.15f
+      (1000L + i, v.indices.map(j => v(j) + scale * noise(j)).toArray)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val approx = Similarity.srpNearDups(emb, "vec_id", "embedding", b = 64, chunks = 8, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.exactNearDups(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 30, s"planted corpus must contain real near-dups, got ${exact.size}")
+    assert(approx.subsetOf(exact), "SRP reported a pair below threshold")
+    assert(approx.size.toDouble / exact.size >= 0.9,
+      s"SRP recall ${approx.size}/${exact.size} below 0.9 in the near-dup regime")
+  }
+
   test("brute-force top-k matches a local exact computation") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val rows = emb.collect().map(r =>
