@@ -93,6 +93,14 @@ object PipelineQueries {
       .toDF("contains_all_exact_dup_pairs", "exact_dups_hamming_zero")
   }
 
+  /** Exact per-doc token count under the BPE-ish regex tokenizer (the
+    * second tokenization mode next to whitespace `q_token_count_exact`). */
+  def tokenCountRegex(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(TextPipeline.regexTokens(col("text"))).cast("long").as("n_tok_regex"))
+      .orderBy(col("doc_id"))
+
   /** Language-ID distribution (heuristic, deterministic). */
   def langIdCounts(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

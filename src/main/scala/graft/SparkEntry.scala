@@ -46,6 +46,7 @@ object SparkEntry {
     // text analysis
     "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
     "q_lang_id" -> (PipelineQueries.langIdCounts _),
+    "q_token_count_regex" -> (PipelineQueries.tokenCountRegex _),
     // similarity search
     "q_embedding_topk" -> (PipelineQueries.embeddingTopK _),
     "q_srp_ann_recall" -> (PipelineQueries.srpAnnRecall _),
@@ -104,6 +105,12 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id"),
       "q_dedup_exact" ->
         "SELECT source, count(DISTINCT text) AS n_uniq FROM documents GROUP BY source ORDER BY source",
+      // the SAME regex evaluates in both engines (pattern restricted to the
+      // Java-regex ∩ RE2 dialect; see TextPipeline.BpeIshPattern)
+      "q_token_count_regex" ->
+        ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+          "CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok_regex " +
+          "FROM documents ORDER BY doc_id"),
       "q_fingerprint_dedup" ->
         "SELECT source, count(DISTINCT text) AS n_uniq_fp FROM documents GROUP BY source ORDER BY source",
       "q_exact_dup_pairs" ->

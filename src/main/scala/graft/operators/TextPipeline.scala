@@ -173,6 +173,18 @@ object TextPipeline {
           col("stopword_count") * 2 <= col("word_count"))
   }
 
+  /** BPE-ish regex tokenizer: alphabetic runs, digit runs, and single
+    * punctuation marks become separate tokens (the pre-tokenization pass a
+    * byte-pair encoder applies before merges — GPT-2-style contractions
+    * excluded for engine portability). The pattern is deliberately inside
+    * both Java-regex and RE2 dialects so the DuckDB oracle evaluates the
+    * SAME expression. */
+  val BpeIshPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token array under [[BpeIshPattern]] (codegen'd built-in, no UDF). */
+  def regexTokens(textCol: Column): Column =
+    regexp_extract_all(coalesce(textCol, lit("")), lit(BpeIshPattern), lit(0))
+
   /** Heuristic language ID: character-class + marker-word voting.
     * Deterministic; intended as the pipeline shape (a real model slots in
     * at the same signature). */

@@ -84,17 +84,25 @@ object StreamingSketch {
       bloomCfg, hllP)
     val sinkName = "graft_stream_windows"
     spark.catalog.dropTempView(sinkName)
-    val query = windowed.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
+    // the state-store partition count is fixed at stream start from
+    // spark.sql.shuffle.partitions; 8 stores suffice for the replay volume
+    // and cut per-micro-batch store open/commit I/O 4x vs a 32-partition
+    // session default (at production scale this is sized to executors)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      (0 until 3).foreach { chunk =>
-        stream.addData(rows.filter(r => r._3.length % 3 == chunk).toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+      val query = windowed.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try {
+        (0 until 3).foreach { chunk =>
+          stream.addData(rows.filter(r => r._3.length % 3 == chunk).toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
 
     val windows = spark.table(sinkName).select(
       ((col("window.start").cast("long") - epoch0) / 60).cast("long").as("win"),
