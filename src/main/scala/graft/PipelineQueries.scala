@@ -172,8 +172,11 @@ object PipelineQueries {
   }
 
   /** IVF-Flat sanity: full-probe IVF search must return exactly the brute-
-    * force top-10 (the index is lossless when every cluster is probed), and
-    * a 4/16-probe search must stay on probed clusters and return k rows.
+    * force top-10 (the index is lossless when every cluster is probed); a
+    * 4/16-probe search must stay on probed clusters and return k rows; and
+    * the STORED index (partitioned-by-cluster parquet + centroid sidecar)
+    * must search identically with the probe filter reaching the scan as a
+    * partition filter (source-level pruning — the 100 TB layout).
     * Emitted as exact booleans. */
   def ivfTopkMatches(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -186,10 +189,23 @@ object PipelineQueries {
       .collect().map(_.getLong(0)).toSeq
     val exact = Similarity.bruteForceTopK(candidates, "vec_id", "embedding", query, 10)
       .collect().map(_.getLong(0)).toSeq
-    val pruned = Similarity.ivfSearch(index, query, 10, nProbe = 4).count()
+    val prunedDf = Similarity.ivfSearch(index, query, 10, nProbe = 4)
+    val prunedIds = prunedDf.collect().map(_.getLong(0)).toSeq
+    // storage path: write partitioned by cluster, reload, search again
+    val storePath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+    Similarity.ivfWrite(index, storePath)
     index.indexed.unpersist()
+    val loaded = Similarity.ivfLoad(spark, storePath)
+    val storedDf = Similarity.ivfSearch(loaded, query, 10, nProbe = 4)
+    val storedIds = storedDf.collect().map(_.getLong(0)).toSeq
+    // the probe filter must reach the parquet source as a PARTITION filter
+    // (plan-asserted here so a regression turns the driver row red)
+    val plan = storedDf.queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cluster") && !l.contains("PartitionFilters: []"))
     import spark.implicits._
-    Seq((full == exact, pruned == 10L)).toDF("full_probe_exact", "pruned_returns_k")
+    Seq((full == exact, prunedIds.length == 10, storedIds == prunedIds, pruned))
+      .toDF("full_probe_exact", "pruned_returns_k", "stored_matches_memory", "partition_pruned")
   }
 
   /** Multimodal pipeline with REAL decode: synthetic-but-real PNG/WAV/frame

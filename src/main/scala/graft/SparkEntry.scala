@@ -130,7 +130,8 @@ object SparkEntry {
       "q_srp_ann_recall" ->
         "SELECT true AS sound, true AS recall_ok",
       "q_ivf_topk_matches" ->
-        "SELECT true AS full_probe_exact, true AS pruned_returns_k",
+        ("SELECT true AS full_probe_exact, true AS pruned_returns_k, " +
+          "true AS stored_matches_memory, true AS partition_pruned"),
       // exact all-pairs word-3-gram-shingle Jaccard (the verify stage's own
       // semantics): LSH recall is 1 on this corpus with huge margin (least
       // similar true pair J=0.889 -> miss prob ~3e-14), so the verified

@@ -205,6 +205,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index with the layout a 100 TB ANN service needs: the
+    * vector table written PARTITIONED BY cluster (each cluster its own
+    * directory of parquet files) plus a tiny centroid sidecar. A search
+    * against the loaded index filters on `cluster`, which Spark turns into
+    * PARTITION PRUNING at the source — only the probed clusters' files are
+    * ever read, so query cost scales with nProbe/numClusters of the data,
+    * not with the table. */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    val spark = index.indexed.sparkSession
+    index.indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a stored IVF index: centroids to the driver (constant-size), the
+    * vector table lazily — cluster is a partition column, so probes prune. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cluster"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    IvfIndex(centroids, spark.read.parquet(s"$path/vectors"))
+  }
+
   /** Exact all-pairs near-duplicates (test oracle; O(n²) — small scale only). */
   def exactNearDups(embeddings: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
