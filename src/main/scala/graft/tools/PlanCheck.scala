@@ -18,6 +18,27 @@ object PlanCheck {
     show("perSourceBloom(tokens)", graft.SketchQueries.perSourceBloom(graft.sources.Tokens.table(spark, dir)))
     show("bloomProbeExact", graft.SketchQueries.bloomProbeExact(spark, dir))
     show("tokenCountExact", graft.SketchQueries.tokenCountExact(spark, dir))
+    // round-2 additions: the LSH pipelines, the runtime-filter join, and
+    // the stored-IVF search (partition-pruning evidence)
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      show("minHashNearDups", graft.operators.TextPipeline.minHashNearDups(
+        docs, "doc_id", "text", shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8))
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      show("srpNearDups(b=64, 8x8-bit)", graft.operators.Similarity.srpNearDups(
+        emb, "vec_id", "embedding", b = 64, chunks = 8, threshold = 0.9))
+      show("bloomJoinLineitem", graft.SketchQueries.bloomJoinLineitem(spark, dir))
+      val index = graft.operators.Similarity.ivfBuild(
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", numClusters = 16)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_plancheck"
+      graft.operators.Similarity.ivfWrite(index, store)
+      val loaded = graft.operators.Similarity.ivfLoad(spark, store)
+      val query = emb.where(col("vec_id") === 0)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      show("ivfSearch(stored, nProbe=4)", graft.operators.Similarity.ivfSearch(loaded, query, 10, 4))
+    }
     spark.stop()
   }
 }
