@@ -73,6 +73,27 @@ object SketchQueries {
       .orderBy(col("source"))
   }
 
+  /** The FLAGSHIP production build path under the driver correctness gate:
+    * per-source fused Bloom+HLL+CMS via the native TypedImperativeAggregate
+    * (ArrayData read in place — the path Bench measures at 10^9 tokens),
+    * then probe the bloom member with every (source, token) occurrence. No
+    * false negatives + byte-identity with the udaf aggregators (tested) ⇒
+    * the per-source present-count equals the exact token count, same
+    * oracle as q_bloom_probe_exact. */
+  def fusedNativeProbeExact(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.NativeAggs.register(spark)
+    GraftFunctions.register(spark)
+    val t = Tokens.table(spark, dir)
+    val sketches = t.groupBy(col("source"))
+      .agg(graft.plans.NativeAggs.fusedTokensNative(col("tokens")).as("sk"))
+    exploded(t)
+      .join(broadcast(sketches), "source")
+      .where(GraftFunctions.bloomMightContain(col("sk.bloom"), col("token")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_present"))
+      .orderBy(col("source"))
+  }
+
   /** Runtime-filter pattern (SURVEY.md §2.2 "Joins"): Bloom built on the
     * build side (tokens of lang='en' docs), broadcast, used to pre-filter
     * the probe side, then an exact semi-join — exact results regardless of

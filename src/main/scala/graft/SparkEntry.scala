@@ -19,6 +19,9 @@ object SparkEntry {
     // Bloom build + probe (insert/lookup, §2.1 rows 2-3) — exact by
     // no-false-negatives
     "q_bloom_probe_exact" -> (SketchQueries.bloomProbeExact _),
+    // the same probe-exactness through the NATIVE fused aggregate (the
+    // Bench flagship build path) — byte-identical sketches, same oracle
+    "q_fused_native_probe_exact" -> (SketchQueries.fusedNativeProbeExact _),
     // Bloom as semi-join runtime filter (§2.2 joins) — exact by design
     "q_bloom_prefilter_semijoin" -> (SketchQueries.bloomPrefilterSemijoin _),
     "q_bloom_join_lineitem" -> (SketchQueries.bloomJoinLineitem _),
@@ -68,6 +71,8 @@ object SparkEntry {
       "SELECT source, true AS within_bound FROM documents GROUP BY source ORDER BY source"
     Map(
       "q_bloom_probe_exact" ->
+        s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
+      "q_fused_native_probe_exact" ->
         s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
       "q_bloom_prefilter_semijoin" ->
         (s"SELECT source, count(DISTINCT w) AS n_shared FROM ($words) t WHERE w <> '' AND w IN " +

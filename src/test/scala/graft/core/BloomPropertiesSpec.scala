@@ -60,6 +60,23 @@ object BloomPropertiesSpec extends Properties("BlockedBloom") {
       cfg2 == cfg && tag == BlockedBloom.TypeTag.Int && words2.sameElements(words)
     }
 
+  property("cross-size combine: union keeps every element, intersection keeps common ones") =
+    Prop.forAll(Gen.choose(1, 8), Gen.choose(0, 6), Gen.choose(0, 6), genPayload, genPayload) {
+      (k, la, lb, xs, ys) =>
+        val cfgA = BloomConfig(k0, k1, k, la)
+        val cfgB = BloomConfig(k0, k1, k, lb)
+        val wa = new Array[Long](cfgA.l)
+        xs.foreach(BlockedBloom.insertInt(wa, cfgA, _))
+        val wb = new Array[Long](cfgB.l)
+        ys.foreach(BlockedBloom.insertInt(wb, cfgB, _))
+        val (wu, cu) = BlockedBloom.unionFold(wa, cfgA, wb, cfgB)
+        val (wi, ci) = BlockedBloom.intersectFold(wa, cfgA, wb, cfgB)
+        val common = xs.toSet intersect ys.toSet
+        (xs ++ ys).forall(BlockedBloom.containsInt(wu, cu, _)) &&
+          common.forall(BlockedBloom.containsInt(wi, ci, _)) &&
+          cu.log2l == math.min(la, lb) && ci.log2l == math.min(la, lb)
+    }
+
   property("mask64 always sets between 1 and k bits") =
     Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue), Gen.choose(1, 10)) { (h, k) =>
       val bits = java.lang.Long.bitCount(BlockedBloom.mask64(h, k))
