@@ -332,6 +332,32 @@ object SketchQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The ops-hardening path under the driver gate: run the resumable
+    * checkpoint job with a SIMULATED MID-JOB CRASH (only 5 buckets commit),
+    * resume to completion, finalize the per-source sketches from the
+    * checkpoint, and probe each source's Bloom with its own token stream —
+    * resume-then-finalize is byte-identical to an uninterrupted build
+    * (SketchJobSpec), so no false negatives ⇒ exact per-source counts. */
+  def sketchJobResumeProbeExact(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val t = Tokens.table(spark, dir)
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_job_ckpt_q"
+    val path = new org.apache.hadoop.fs.Path(ckpt)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true) // fresh job per query run
+    val cfg = graft.jobs.SketchJob.DefaultConfig
+    graft.jobs.SketchJob.runIncrement(spark, t, ckpt, cfg, failAfterBuckets = Some(5))
+    graft.jobs.SketchJob.runIncrement(spark, t, ckpt, cfg) // resume the rest
+    val fin = graft.jobs.SketchJob.finalizeSketches(spark, ckpt, cfg)
+      .select(col("source"), col("bloom"))
+    exploded(t)
+      .join(broadcast(fin), "source")
+      .where(GraftFunctions.bloomMightContain(col("bloom"), col("token")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_present"))
+      .orderBy(col("source"))
+  }
+
   /** Exact per-doc token count through the tokens table (text analysis:
     * token counting; trivially SQL-checkable). */
   def tokenCountExact(spark: SparkSession, dir: String): DataFrame =

@@ -56,6 +56,8 @@ object SparkEntry {
     "q_ivf_topk_matches" -> (PipelineQueries.ivfTopkMatches _),
     // multimodal pipeline (real PNG/WAV/frame decode, batched)
     "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _),
+    // ops hardening: crash -> resume -> finalize -> probe, exact counts
+    "q_sketchjob_resume_probe_exact" -> (SketchQueries.sketchJobResumeProbeExact _),
     // Structured Streaming surface: windowed sketch build + probe
     "q_streaming_bloom_windows" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingSketch.replayBloomWindows(
@@ -73,6 +75,8 @@ object SparkEntry {
       "q_bloom_probe_exact" ->
         s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
       "q_fused_native_probe_exact" ->
+        s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
+      "q_sketchjob_resume_probe_exact" ->
         s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
       "q_bloom_prefilter_semijoin" ->
         (s"SELECT source, count(DISTINCT w) AS n_shared FROM ($words) t WHERE w <> '' AND w IN " +
