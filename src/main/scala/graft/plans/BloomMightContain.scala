@@ -251,6 +251,15 @@ object GraftFunctions {
     spark.udf.register("graft_kll", udaf(new KllDoubleAgg(200), ExpressionEncoder[Double]()))
     spark.udf.register("graft_tdigest", udaf(new TDigestDoubleAgg(100), ExpressionEncoder[Double]()))
     spark.udf.register("graft_bloom_merge", udaf(new BloomMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_bloom_intersect", udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else {
+        val (cfgA, wa, tagA) = graft.core.BlockedBloom.fromBytes(Keys.DefaultK0, Keys.DefaultK1, a)
+        val (cfgB, wb, tagB) = graft.core.BlockedBloom.fromBytes(Keys.DefaultK0, Keys.DefaultK1, b)
+        graft.core.BlockedBloom.requireTypeTag(tagA, tagB)
+        val (w, cfg) = graft.core.BlockedBloom.intersectFold(wa, cfgA, wb, cfgB)
+        graft.core.BlockedBloom.toBytes(w, cfg, tagA)
+      }))
     spark.udf.register("graft_hll_estimate", udf((b: Array[Byte]) => Hll.estimate(Hll.fromBytes(b)._2)))
     spark.udf.register("graft_kll_quantile", udf((b: Array[Byte], q: Double) => graft.core.Kll.fromBytes(b).quantile(q)))
     spark.udf.register("graft_tdigest_quantile", udf((b: Array[Byte], q: Double) => graft.core.TDigest.fromBytes(b).quantile(q)))

@@ -114,6 +114,14 @@ class BloomMightContainSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT graft_kll_quantile(graft_kll(CAST(size(tokens) AS DOUBLE)), 0.5) FROM sql_tokens")
       .head().getDouble(0)
     assert(med === 2.0)
+    // set ops through SQL: graft_bloom_intersect is registered and
+    // intersect(x, x) preserves membership (token 42 is in src0's evens)
+    val inter = spark.sql(
+      """SELECT graft_bloom_might_contain(
+        |  graft_bloom_intersect(a.sk, b.sk), 42) AS hit
+        |FROM sql_sketches a JOIN sql_sketches b ON a.source = b.source
+        |WHERE a.source = 'src0'""".stripMargin).head().getBoolean(0)
+    assert(inter, "intersect(x, x) must preserve x's members (42 = 2*21 is in src0)")
   }
 
   test("graft_sip_hash64 expression agrees with the core SipHash") {
