@@ -86,22 +86,37 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
       else LoadedBloomFilter.loadTyped(k0, k1, bytes.asInstanceOf[Array[Byte]], expectedTag)
     } else null
 
-  // non-foldable path: single-entry content cache (never returns the wrong
-  // filter: full Arrays.equals before reuse)
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedFilter: LoadedBloomFilter = _
+  // Non-foldable path: bounded content-verified cache. A probe stream
+  // joined onto per-group sketches interleaves the groups' byte arrays
+  // row-to-row, so a single-entry cache would re-deserialize on every
+  // group switch; a small map keyed by a sampled hash (hit trusted only
+  // after full Arrays.equals — never returns the wrong filter) makes the
+  // per-row cost one word read again. Bounded: typical probe plans carry
+  // tens of group sketches; an adversarial stream of unique sketches just
+  // degrades to load-per-row, same as no cache.
+  @transient private lazy val cache =
+    new java.util.HashMap[Long, (Array[Byte], LoadedBloomFilter)]()
+
+  private def sampleKey(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var h = 0xcbf29ce484222325L ^ n.toLong
+    var i = 0
+    while (i < n) { h = (h ^ bytes(i)) * 0x100000001b3L; i += math.max(1, n / 64) }
+    h
+  }
 
   private def filterFor(bytes: Array[Byte]): LoadedBloomFilter = {
     if (foldedFilter != null) foldedFilter
     else {
-      if (cachedBytes == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
-        // load BEFORE updating the key: a throwing load must not leave the
-        // cache claiming these bytes map to the previous filter
+      val key = sampleKey(bytes)
+      val hit = cache.get(key)
+      if (hit != null && java.util.Arrays.equals(hit._1, bytes)) hit._2
+      else {
         val loaded = LoadedBloomFilter.loadTyped(k0, k1, bytes, expectedTag)
-        cachedBytes = bytes.clone()
-        cachedFilter = loaded
+        if (cache.size() >= 64) cache.clear()
+        cache.put(key, (bytes.clone(), loaded))
+        loaded
       }
-      cachedFilter
     }
   }
 
