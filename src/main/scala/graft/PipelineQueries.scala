@@ -73,13 +73,18 @@ object PipelineQueries {
   def simhashDups(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val found = TextPipeline.simHashNearDups(d, "doc_id", "text").persist()
-    // exact-text duplicate pairs among non-empty texts, normalized a < b
+    // exact-text duplicate pairs among non-empty texts, normalized a < b;
+    // the equi-join key is the 8-byte content fingerprint (scale-shaped:
+    // the shuffle hashes fixed-width keys, not arbitrary-length text) with
+    // text equality kept as the exactness filter behind it
     val nonEmpty = d.where(
       col("text").isNotNull && size(filter(split(col("text"), " "), w => w =!= lit(""))) > 0)
       .select(col("doc_id"), col("text"))
-    val exactPairs = nonEmpty.as("a")
-      .join(nonEmpty.as("b"),
-        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+    val withFp = nonEmpty.withColumn("fp", TextPipeline.fingerprintCol(d, col("text")))
+    val exactPairs = withFp.as("a")
+      .join(withFp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.text") === col("b.text") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val nExact = exactPairs.count()
     val foundPairs = found.select(col("doc_a"), col("doc_b"), col("hamming"))

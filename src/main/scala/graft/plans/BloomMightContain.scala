@@ -266,6 +266,8 @@ object GraftFunctions {
     spark.udf.register("graft_kll", udaf(new KllDoubleAgg(200), ExpressionEncoder[Double]()))
     spark.udf.register("graft_tdigest", udaf(new TDigestDoubleAgg(100), ExpressionEncoder[Double]()))
     spark.udf.register("graft_bloom_merge", udaf(new BloomMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_bloom_tokens_newcount",
+      udaf(new BloomTokensNewCountAgg(bloomCfg), tokensEnc))
     spark.udf.register("graft_bloom_intersect", udf((a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) null
       else {
