@@ -73,6 +73,26 @@ object SketchQueries {
       .orderBy(col("source"))
   }
 
+  /** The 128-BIT HASH PATH under the driver gate: k=11, log2l=12 needs
+    * 6*11+12 = 78 hash bits, so build and probe run through
+    * membershipWordAndBits128 (reference `Internal.hs:235-261`) end to
+    * end. No false negatives ⇒ same exact per-source counts as the 64-bit
+    * twin, same oracle. */
+  def bloom128ProbeExact(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val cfg128 = BloomConfig(K0, K1, k = 11, log2l = 12)
+    require(!cfg128.hash64Enough, "query must exercise the 128-bit path")
+    val t = Tokens.table(spark, dir)
+    val sketches = t.groupBy(col("source"))
+      .agg(udaf(new BloomTokensAgg(cfg128), tokensEnc)(col("tokens")).as("sketch"))
+    exploded(t)
+      .join(broadcast(sketches), "source")
+      .where(GraftFunctions.bloomMightContain(col("sketch"), col("token")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_present"))
+      .orderBy(col("source"))
+  }
+
   /** The FLAGSHIP production build path under the driver correctness gate:
     * per-source fused Bloom+HLL+CMS via the native TypedImperativeAggregate
     * (ArrayData read in place — the path Bench measures at 10^9 tokens),

@@ -22,6 +22,8 @@ object SparkEntry {
     // the same probe-exactness through the NATIVE fused aggregate (the
     // Bench flagship build path) — byte-identical sketches, same oracle
     "q_fused_native_probe_exact" -> (SketchQueries.fusedNativeProbeExact _),
+    // the 128-bit hash path (6k+log2l > 64) end to end, same exactness
+    "q_bloom128_probe_exact" -> (SketchQueries.bloom128ProbeExact _),
     // Bloom as semi-join runtime filter (§2.2 joins) — exact by design
     "q_bloom_prefilter_semijoin" -> (SketchQueries.bloomPrefilterSemijoin _),
     "q_bloom_join_lineitem" -> (SketchQueries.bloomJoinLineitem _),
@@ -77,6 +79,8 @@ object SparkEntry {
       "q_fused_native_probe_exact" ->
         s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
       "q_sketchjob_resume_probe_exact" ->
+        s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
+      "q_bloom128_probe_exact" ->
         s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
       "q_bloom_prefilter_semijoin" ->
         (s"SELECT source, count(DISTINCT w) AS n_shared FROM ($words) t WHERE w <> '' AND w IN " +
