@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{BlockedBloom, BloomConfig, Keys}
+
+/** The `spark.sql.extensions=graft.plans.GraftExtensions` injection path:
+  * a session built with the extensions (no GraftFunctions.register call)
+  * must resolve the native expressions from pure SQL — the deployment mode
+  * a cluster operator uses (`--conf spark.sql.extensions=...`). */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("injected functions resolve from SQL without manual registration") {
+    val h = spark.sql("SELECT graft_sip_hash64('alpha')").head().getLong(0)
+    assert(h === graft.core.SipHash.hashString(Keys.DefaultK0, Keys.DefaultK1, "alpha"))
+
+    val cfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 8)
+    val words = new Array[Long](cfg.l)
+    Seq(7, 8, 9).foreach(BlockedBloom.insertInt(words, cfg, _))
+    val sketch = BlockedBloom.toBytes(words, cfg, BlockedBloom.TypeTag.Int)
+    val hex = sketch.map("%02x".format(_)).mkString
+    val hit = spark.sql(s"SELECT graft_bloom_might_contain(X'$hex', 7)").head().getBoolean(0)
+    assert(hit, "injected graft_bloom_might_contain must probe correctly")
+    val miss = spark.sql(s"SELECT graft_bloom_might_contain(X'$hex', 1000000)").head().getBoolean(0)
+    assert(!miss || BlockedBloom.containsInt(words, cfg, 1000000))
+  }
+}
