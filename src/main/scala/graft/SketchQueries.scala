@@ -6,8 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.core._
-import graft.functions.SketchFunctions
-import graft.plans.GraftFunctions
+import graft.plans.{GraftFunctions, SketchReaders}
 import graft.operators.SketchAggs._
 import graft.sources.Tokens
 
@@ -159,9 +158,10 @@ object SketchQueries {
   /** HLL distinct tokens per source, asserted within 4 sigma of exact
     * (sigma = 1.04/sqrt(m); linear-counting regime is far tighter). */
   def hllDistinctTokensBound(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
     val t = Tokens.table(spark, dir)
     val est = t.groupBy(col("source")).agg(hllTokensUdaf(col("tokens")).as("sk"))
-      .select(col("source"), SketchFunctions.hllEstimate(col("sk")).as("est"))
+      .select(col("source"), SketchReaders.hllEstimate(col("sk")).as("est"))
     val exact = exploded(t).groupBy(col("source"))
       .agg(countDistinct(col("token")).as("exact"))
     est.join(exact, "source")
@@ -174,9 +174,10 @@ object SketchQueries {
 
   /** HLL distinct doc_ids per source (string elements) within bound. */
   def hllDistinctDocsBound(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
     val t = Tokens.table(spark, dir)
     val est = t.groupBy(col("source")).agg(hllStringUdaf(col("doc_id")).as("sk"))
-      .select(col("source"), SketchFunctions.hllEstimate(col("sk")).as("est"))
+      .select(col("source"), SketchReaders.hllEstimate(col("sk")).as("est"))
     val exact = t.groupBy(col("source")).agg(countDistinct(col("doc_id")).as("exact"))
     est.join(exact, "source")
       .select(
@@ -189,6 +190,7 @@ object SketchQueries {
   /** Count-min heavy hitter per source: estimate of the top token's
     * frequency is one-sided (>= exact) and within 2*eps*N. */
   def cmsHeavyHitterBound(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
     val t = Tokens.table(spark, dir)
     val counts = exploded(t).groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("token").asc)
@@ -199,8 +201,8 @@ object SketchQueries {
       .select(
         col("source"),
         {
-          val est = SketchFunctions.cmsEstimateInt(K0, K1)(col("sk"), col("token"))
-          val n = SketchFunctions.cmsTotalCount(K0, K1)(col("sk"))
+          val est = SketchReaders.cmsEstimate(col("sk"), col("token"))
+          val n = SketchReaders.cmsTotal(col("sk"))
           (est >= col("cnt") &&
             est <= col("cnt") + greatest(ceil(n * lit(2 * cmsCfg.epsilon)), lit(2.0))).as("within_bound")
         })
@@ -219,12 +221,13 @@ object SketchQueries {
     quantileBound(spark, dir, isKll = false, eps = 0.05)
 
   private def quantileBound(spark: SparkSession, dir: String, isKll: Boolean, eps: Double): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
     val t = Tokens.table(spark, dir)
     val qs = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75)
     val sk = t.groupBy(col("source"))
       .agg((if (isKll) kllUdaf else tdigestUdaf)(col("n_tok").cast("double")).as("sk"))
     val estCols = qs.map { case (tag, q) =>
-      (if (isKll) SketchFunctions.kllQuantile else SketchFunctions.tdigestQuantile)(
+      (if (isKll) SketchReaders.kllQuantile _ else SketchReaders.tdigestQuantile _)(
         col("sk"), lit(q)).as(s"est_$tag")
     }
     val ests = sk.select(col("source") +: estCols: _*)
@@ -249,13 +252,14 @@ object SketchQueries {
     * desc, token asc) aligns with the oracle's (count desc, word asc)
     * because token ids are assigned in word-lexical order. */
   def cmsTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
     val t = Tokens.table(spark, dir)
     val sk = t.groupBy(col("source")).agg(cmsTokensUdaf(col("tokens")).as("sk"))
     val candidates = exploded(t).distinct()
     val est = candidates
       .join(broadcast(sk), "source")
       .select(col("source"), col("token"),
-        SketchFunctions.cmsEstimateInt(K0, K1)(col("sk"), col("token")).as("est"))
+        SketchReaders.cmsEstimate(col("sk"), col("token")).as("est"))
     val w = Window.partitionBy(col("source")).orderBy(col("est").desc, col("token").asc)
     est.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -339,10 +343,11 @@ object SketchQueries {
   /** HLL distinct users per event type over the events stream table
     * (long-typed elements), within bound. */
   def hllEventUsersBound(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
     val events = spark.read.parquet(s"$dir/events.parquet")
     val hllLongUdaf = udaf(new HllLongAgg(K0, K1, hllP), ExpressionEncoder[Long]())
     val est = events.groupBy(col("event_type")).agg(hllLongUdaf(col("user_id")).as("sk"))
-      .select(col("event_type"), SketchFunctions.hllEstimate(col("sk")).as("est"))
+      .select(col("event_type"), SketchReaders.hllEstimate(col("sk")).as("est"))
     val exact = events.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("exact"))
     est.join(exact, "event_type")
       .select(

@@ -36,23 +36,17 @@ object Similarity {
     when(nA * nB === 0.0, lit(-1.0)).otherwise(dot / (nA * nB))
   }
 
-  /** Cosine between two embedding columns (for pair verification).
-    * A primitive-array UDF beats the higher-order-function formulation
-    * here: Spark evaluates HOF lambdas interpretively per element, which
-    * measured ~40x slower than this loop on all-pairs verification. */
-  def cosineCols(a: Column, b: Column): Column = cosinePairUdf(a, b)
-
-  private val cosinePairUdf = udf { (a: Array[Float], b: Array[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
-  }
+  /** Cosine between two embedding columns (for pair verification) — the
+    * native codegen expression `graft_cosine_sim` (reads the
+    * UnsafeArrayData in place inside whole-stage codegen). A Scala UDF on
+    * primitive arrays already beat the higher-order-function formulation
+    * ~40x (HOF lambdas evaluate interpretively per element); the native
+    * expression additionally removes the UDF encoder copy from every LSH
+    * verify join. Callers must have registered the graft expressions once
+    * per session ([[graft.plans.GraftFunctions.registerExpressions]]) —
+    * every entry point in this object does so itself. */
+  def cosineCols(a: Column, b: Column): Column =
+    graft.plans.VectorFunctions.cosineSim(a, b)
 
   /** Exact brute-force top-k neighbours of `query` — the correctness
     * baseline. Physical plan: TakeOrderedAndProject (per-partition heap +
@@ -103,6 +97,7 @@ object Similarity {
       b: Int = 32, chunks: Int = 4, threshold: Double = 0.9): DataFrame = {
     require(chunks >= 1 && chunks <= b && b % chunks == 0,
       s"srpNearDups: chunks ($chunks) must divide b ($b)")
+    graft.plans.GraftFunctions.registerExpressions(embeddings.sparkSession)
     val bitsPerChunk = b / chunks
     require(bitsPerChunk <= 31, s"srpNearDups: bits per chunk ($bitsPerChunk) must fit an Int key")
     val chunkUdf = udf(new SrpChunker(b, chunks, bitsPerChunk))
@@ -235,6 +230,7 @@ object Similarity {
   /** Exact all-pairs near-duplicates (test oracle; O(n²) — small scale only). */
   def exactNearDups(embeddings: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.registerExpressions(embeddings.sparkSession)
     val e = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
     e.as("a").join(broadcast(e.as("b")), col("a.id") < col("b.id"))
       .withColumn("cos", cosineCols(col("a.emb"), col("b.emb")))

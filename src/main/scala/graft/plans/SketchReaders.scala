@@ -1,0 +1,266 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core._
+
+/** Native Catalyst read-path expressions over finished (serialized)
+  * sketches — the estimate analogues of [[BloomMightContain]] (round-2
+  * VERDICT #4: the Bloom probe got the native codegen treatment, the
+  * family's readers were still Scala UDFs crossing the encoder boundary
+  * per row).
+  *
+  * Each expression deserializes a sketch ONCE per distinct byte array via a
+  * small content-verified LRU (sampled-hash key, hit trusted only after a
+  * full `Arrays.equals` — the cache can never return the wrong sketch) and
+  * participates in whole-stage codegen through a direct method call on the
+  * expression instance. Thread-safety follows Spark's per-task expression
+  * deserialization: one instance per task, single-threaded by construction.
+  */
+private[plans] final class ReaderCache[S <: AnyRef](load: Array[Byte] => S) extends Serializable {
+  @transient private lazy val cache =
+    new java.util.LinkedHashMap[Long, (Array[Byte], S)](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, (Array[Byte], S)]): Boolean =
+        size() > 64
+    }
+
+  private def sampleKey(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var h = 0xcbf29ce484222325L ^ n.toLong
+    var i = 0
+    while (i < n) { h = (h ^ bytes(i)) * 0x100000001b3L; i += math.max(1, n / 64) }
+    h
+  }
+
+  def get(bytes: Array[Byte]): S = {
+    val key = sampleKey(bytes)
+    val hit = cache.get(key)
+    if (hit != null && java.util.Arrays.equals(hit._1, bytes)) hit._2
+    else {
+      val loaded = load(bytes)
+      cache.put(key, (bytes.clone(), loaded))
+      loaded
+    }
+  }
+}
+
+/** `graft_hll_estimate(sketch)` -> double. The O(m) register scan runs once
+  * per distinct sketch (the ESTIMATE is cached, not the registers). */
+case class HllEstimateExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_hll_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sketch argument must be BINARY, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cache = new ReaderCache[java.lang.Double](bytes =>
+    java.lang.Double.valueOf(Hll.estimate(Hll.fromBytes(bytes)._2)))
+
+  def estimate(bytes: Array[Byte]): Double = cache.get(bytes).doubleValue()
+
+  override def nullSafeEval(v: Any): Any = estimate(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("hllEst", this, classOf[HllEstimateExpr].getName)
+    defineCodeGen(ctx, ev, b => s"$selfRef.estimate($b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deserialized count-min sketch referenced from generated code. */
+private[plans] final class LoadedCmsSketch(val cfg: CmsConfig, val buf: Array[Long])
+    extends Serializable
+
+private[plans] object LoadedCmsSketch {
+  def load(k0: Long, k1: Long)(bytes: Array[Byte]): LoadedCmsSketch = {
+    val (depth, log2Width, buf, _, storedKeyHash) = CountMin.fromBytesFull(bytes)
+    require(storedKeyHash == SipHash.hashLong(k0, k1, k0 ^ k1),
+      "CMS sketch was built with a different SipHash key")
+    new LoadedCmsSketch(CmsConfig(k0, k1, depth, log2Width), buf)
+  }
+}
+
+/** `graft_cms_estimate(sketch, elem)` -> bigint (point frequency, one-sided
+  * >= exact). Element types: int, string. */
+case class CmsEstimateExpr(left: Expression, right: Expression, k0: Long, k1: Long)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sketch argument must be BINARY, got ${left.dataType}")
+    else right.dataType match {
+      case IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"element type $t not supported (int/string)")
+    }
+
+  @transient private lazy val cache = new ReaderCache[LoadedCmsSketch](LoadedCmsSketch.load(k0, k1))
+
+  def estimateInt(bytes: Array[Byte], x: Int): Long = {
+    val c = cache.get(bytes)
+    CountMin.estimateInt(c.buf, c.cfg, x)
+  }
+
+  def estimateUTF8(bytes: Array[Byte], s: UTF8String): Long = {
+    val c = cache.get(bytes)
+    CountMin.estimateString(c.buf, c.cfg, s.toString)
+  }
+
+  override def nullSafeEval(sketchVal: Any, elemVal: Any): Any = right.dataType match {
+    case IntegerType => estimateInt(sketchVal.asInstanceOf[Array[Byte]], elemVal.asInstanceOf[Int])
+    case StringType => estimateUTF8(sketchVal.asInstanceOf[Array[Byte]], elemVal.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("cmsEst", this, classOf[CmsEstimateExpr].getName)
+    val m = right.dataType match {
+      case IntegerType => "estimateInt"
+      case StringType => "estimateUTF8"
+    }
+    defineCodeGen(ctx, ev, (s, e) => s"$selfRef.$m($s, $e)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_cms_total(sketch)` -> bigint (total inserted weight N). */
+case class CmsTotalExpr(child: Expression, k0: Long, k1: Long) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_total"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sketch argument must be BINARY, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cache = new ReaderCache[LoadedCmsSketch](LoadedCmsSketch.load(k0, k1))
+
+  def total(bytes: Array[Byte]): Long = {
+    val c = cache.get(bytes)
+    CountMin.totalCount(c.buf, c.cfg)
+  }
+
+  override def nullSafeEval(v: Any): Any = total(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("cmsTotal", this, classOf[CmsTotalExpr].getName)
+    defineCodeGen(ctx, ev, b => s"$selfRef.total($b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_kll_quantile(sketch, q)` / `graft_tdigest_quantile(sketch, q)`
+  * -> double. The deserialized sketch is cached; the per-row quantile walk
+  * is O(levels)/O(centroids). */
+case class QuantileReadExpr(left: Expression, right: Expression, isKll: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = if (isKll) "graft_kll_quantile" else "graft_tdigest_quantile"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sketch argument must be BINARY, got ${left.dataType}")
+    else if (right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"quantile argument must be DOUBLE, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val kllCache = new ReaderCache[graft.core.KllSketch](Kll.fromBytes)
+  @transient private lazy val tdCache = new ReaderCache[graft.core.TDigest](TDigest.fromBytes)
+
+  def quantile(bytes: Array[Byte], q: Double): Double =
+    if (isKll) kllCache.get(bytes).quantile(q) else tdCache.get(bytes).quantile(q)
+
+  override def nullSafeEval(sketchVal: Any, qVal: Any): Any =
+    quantile(sketchVal.asInstanceOf[Array[Byte]], qVal.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("quantileRead", this, classOf[QuantileReadExpr].getName)
+    defineCodeGen(ctx, ev, (s, q) => s"$selfRef.quantile($s, $q)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column helpers for the reader expressions. */
+object SketchReaders {
+
+  val HllEstimateName = "graft_hll_estimate"
+  val CmsEstimateName = "graft_cms_estimate"
+  val CmsTotalName = "graft_cms_total"
+  val KllQuantileName = "graft_kll_quantile"
+  val TDigestQuantileName = "graft_tdigest_quantile"
+
+  private def keyLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case _ => None
+  }
+
+  private[plans] def hllBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => HllEstimateExpr(s)
+    case _ => throw new IllegalArgumentException(s"$HllEstimateName expects (sketch BINARY)")
+  }
+
+  private[plans] def cmsEstimateBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s, e) => CmsEstimateExpr(s, e, Keys.DefaultK0, Keys.DefaultK1)
+    case Seq(s, e, kk0, kk1) if keyLit(kk0).isDefined && keyLit(kk1).isDefined =>
+      CmsEstimateExpr(s, e, keyLit(kk0).get, keyLit(kk1).get)
+    case _ => throw new IllegalArgumentException(
+      s"$CmsEstimateName expects (sketch BINARY, elem, [k0 BIGINT, k1 BIGINT])")
+  }
+
+  private[plans] def cmsTotalBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => CmsTotalExpr(s, Keys.DefaultK0, Keys.DefaultK1)
+    case Seq(s, kk0, kk1) if keyLit(kk0).isDefined && keyLit(kk1).isDefined =>
+      CmsTotalExpr(s, keyLit(kk0).get, keyLit(kk1).get)
+    case _ => throw new IllegalArgumentException(
+      s"$CmsTotalName expects (sketch BINARY, [k0 BIGINT, k1 BIGINT])")
+  }
+
+  private[plans] def quantileBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
+    // SQL fractional literals parse as DECIMAL; fold them into the DOUBLE
+    // the expression requires (numeric-only cast, never strings)
+    case Seq(s, q) if q.dataType.isInstanceOf[DecimalType] || q.dataType == FloatType =>
+      QuantileReadExpr(s, Cast(q, DoubleType), isKll)
+    case Seq(s, q) => QuantileReadExpr(s, q, isKll)
+    case _ => throw new IllegalArgumentException(
+      s"${if (isKll) KllQuantileName else TDigestQuantileName} expects (sketch BINARY, q DOUBLE)")
+  }
+
+  def registerExpressions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(HllEstimateName, hllBuilder, "built-in")
+    reg.createOrReplaceTempFunction(CmsEstimateName, cmsEstimateBuilder, "built-in")
+    reg.createOrReplaceTempFunction(CmsTotalName, cmsTotalBuilder, "built-in")
+    reg.createOrReplaceTempFunction(KllQuantileName, quantileBuilder(isKll = true), "built-in")
+    reg.createOrReplaceTempFunction(TDigestQuantileName, quantileBuilder(isKll = false), "built-in")
+  }
+
+  // Column helpers (require GraftFunctions.registerExpressions once per session)
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.call_function
+
+  def hllEstimate(sketch: Column): Column = call_function(HllEstimateName, sketch)
+  def cmsEstimate(sketch: Column, elem: Column): Column = call_function(CmsEstimateName, sketch, elem)
+  def cmsTotal(sketch: Column): Column = call_function(CmsTotalName, sketch)
+  def kllQuantile(sketch: Column, q: Column): Column = call_function(KllQuantileName, sketch, q)
+  def tdigestQuantile(sketch: Column, q: Column): Column = call_function(TDigestQuantileName, sketch, q)
+}
