@@ -33,9 +33,23 @@ for q in sorted(os.listdir(out_dir)):
     s_cols, o_cols = sorted(spark_df.columns), sorted(ora_df.columns)
     schema = s_cols == o_cols
     if rows and schema:
-        a = spark_df[s_cols].round(9).astype(str).values.tolist()
-        b = ora_df[o_cols].round(9).astype(str).values.tolist()
-        match = a == b
+        # numeric columns compare with an absolute tolerance (round-then-
+        # stringify produced spurious FAILs on float-repr edge cases);
+        # everything else compares as strings
+        import numpy as np
+        match = True
+        a, b = [], []
+        for c in s_cols:
+            sv, ov = spark_df[c], ora_df[c]
+            if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+                col_ok = bool(np.isclose(sv.astype(float).values, ov.astype(float).values,
+                                         rtol=0.0, atol=1e-9, equal_nan=True).all())
+            else:
+                col_ok = sv.astype(str).values.tolist() == ov.astype(str).values.tolist()
+            if not col_ok:
+                match = False
+        a = spark_df[s_cols].astype(str).values.tolist()
+        b = ora_df[o_cols].astype(str).values.tolist()
     else:
         match = False
     status = "OK " if (rows and schema and match) else "FAIL"

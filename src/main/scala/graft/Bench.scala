@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,16 +12,34 @@ import graft.sources.Tokens
 
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
-  * Three measurements, matching BASELINE.json's metric:
+  * Measurements, matching BASELINE.json's metric:
   *  1. per-query wall times of the SparkEntry surface on SPARK_GRAFT_SF_DIR;
   *  2. tokens/sec sketch-build throughput (Bloom+HLL+CMS in one pass,
   *     grouped by Zipf-skewed source) over a synthesized token table —
-  *     measured at TWO parallelism levels (local[N/4] vs local[N]) on the
-  *     SAME input, the sandbox proxy for N vs 4N executors, reporting
-  *     scaling efficiency = (thru_hi / thru_lo) / 4;
-  *  3. empirical Bloom FPR of the bench build vs the analytic fpr() bound.
+  *     measured at parallelism levels (local[N/16], local[N/4], local[N])
+  *     on the SAME input, the sandbox proxy for N vs 4N executors;
+  *  3. Bloom probe (lookup) throughput through the native expression;
+  *  4. empirical Bloom FPR of the bench build vs the analytic fpr() bound;
+  *  5. MinHash-LSH near-dup dedup throughput on a 10%-planted-dup corpus
+  *     (candidate-volume behavior under dup-heavy skew).
   *
-  * Sizing via env: SPARK_GRAFT_BENCH_DOCS (default 6M docs, ~384M tokens).
+  * SELF-EVIDENCING SCALING (round-2 VERDICT #1): rounds are interleaved
+  * (each round visits every level back to back) so tens-of-minutes host
+  * drift cannot masquerade as scaling; the headline efficiency is the
+  * MEDIAN of per-round ratios (each round is one tight time window — a
+  * co-tenant burst distorts that round's ratio, not the median); the JSON
+  * carries the per-round raw second arrays AND a per-visit pure-CPU
+  * co-tenancy index (a fixed single-thread SipHash lap; dips = co-tenant
+  * interference), so the artifact explains its own variance. Efficiency
+  * above 1.0 is physically a measurement artifact: the harness then runs
+  * extra rounds, and if the median still exceeds 1.0 it CLAMPS the
+  * headline to 1.0, keeps the raw value in scaling_efficiency_raw, and
+  * sets scaling_noise_flag.
+  *
+  * Sizing via env: SPARK_GRAFT_BENCH_DOCS (default 16M docs, ~1.02B
+  * tokens), SPARK_GRAFT_BENCH_ITERS (default 8 rounds),
+  * SPARK_GRAFT_LSH_DOCS (default 1M docs), SPARK_GRAFT_PHASES
+  * (all|queries|scaling).
   */
 object Bench {
 
@@ -40,10 +60,35 @@ object Bench {
     s
   }
 
+  private def stopSession(s: SparkSession): Unit = {
+    s.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
   private def time[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = body
     (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Single-thread pure-CPU lap (fixed SipHash work): millions of hashes
+    * per second. A dip below the session's own baseline flags co-tenant
+    * interference in THAT measurement window. */
+  private def cotenancyLap(): Double = {
+    val iters = 100000000L
+    val (_, sec) = time(graft.tools.ScaleProbe.work(iters))
+    iters / sec / 1e6
+  }
+
+  private def jsonArr(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
   /** The flagship sketch-build job: per-source Bloom + HLL + CMS in ONE
@@ -75,19 +120,25 @@ object Bench {
         // warm-up lap: one untimed pass over the whole surface so the
         // timed pass measures steady state instead of charging ~28 s of
         // JVM/JIT/parquet-cache warm-up to whichever query runs first
-        // (round-1 driver bench: q_bloom_probe_exact 30 s cold vs 2 s warm)
-        sorted.foreach { case (_, fn) =>
-          try fn(spark1, sfDir).count() catch { case _: Throwable => () }
+        // (round-1 driver bench: q_bloom_probe_exact 30 s cold vs 2 s warm).
+        // NonFatal only: an OOM or linkage error must abort loudly, not
+        // surface as a silent -1 later (ADVICE r2).
+        sorted.foreach { case (name, fn) =>
+          try fn(spark1, sfDir).count()
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] WARM-UP FAILED for $name: ${e.getClass.getName}: ${e.getMessage}")
+          }
         }
         val qs = sorted.map { case (name, fn) =>
           val (_, sec) =
             try time(fn(spark1, sfDir).count())
-            catch { case _: Throwable => (-1L, -1.0) }
+            catch { case NonFatal(e) =>
+              System.err.println(s"[bench] QUERY FAILED: $name: ${e.getClass.getName}: ${e.getMessage}")
+              (-1L, -1.0)
+            }
           name -> sec
         }
-        spark1.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
+        stopSession(spark1)
         qs
       }
 
@@ -114,9 +165,7 @@ object Bench {
           .write.mode("overwrite").parquet(benchPath)
       }
       totalTokens = s.read.parquet(benchPath).agg(sum(col("n_tok"))).head().getLong(0)
-      s.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
+      stopSession(s)
     }
 
     // ---- phase 3: same job at multiple parallelism levels ----
@@ -132,43 +181,57 @@ object Bench {
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(lowCpus, midCpus, cpus))
     var bloomBytes: Array[Byte] = null
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
-    // INTERLEAVED rounds: host throughput in this sandbox drifts over tens
-    // of minutes (co-tenants), so each round measures every level back to
-    // back and the ratio is taken over per-level minima — a block design
-    // would let drift masquerade as (anti-)scaling. One warm-up pass per
-    // level on its first visit covers JIT + page cache.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "8").toInt
+    val extraRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_ITERS", "4").toInt
+    // INTERLEAVED rounds (see the scaladoc): per-level second and
+    // co-tenancy arrays are kept per round for the JSON.
     val secsByLevel = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Double]]
-    for (round <- 1 to rounds; n <- levels) {
-      val s = session(n)
-      val df = s.read.parquet(benchPath)
-      if (round == 1) time(buildSketches(s, df, cfg)) // warm-up
-      val (bytes, sec) = time(buildSketches(s, df, cfg))
-      bloomBytes = bytes
-      secsByLevel.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer.empty) += sec
-      s.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-    }
-    val throughput = levels.map { n =>
-      val secs = secsByLevel(n)
-      val sec = secs.min
-      System.err.println(f"[bench] local[$n]: measured=${secs.map(x => f"$x%.2f").mkString(",")}%s -> min $sec%.3f s")
-      n -> (totalTokens / sec, sec)
-    }.toMap
+    val cotenByLevel = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Double]]
+    def runRound(round: Int): Unit =
+      levels.foreach { n =>
+        val coten = cotenancyLap()
+        val s = session(n)
+        val df = s.read.parquet(benchPath)
+        if (round == 1) time(buildSketches(s, df, cfg)) // warm-up, first visit only
+        val (bytes, sec) = time(buildSketches(s, df, cfg))
+        bloomBytes = bytes
+        secsByLevel.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer.empty) += sec
+        cotenByLevel.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer.empty) += coten
+        stopSession(s)
+      }
+    (1 to rounds).foreach(runRound)
+
     val l0 = levels(0)
     val l1 = levels(math.min(1, levels.length - 1))
-    val efficiency = (throughput(l1)._1 / throughput(l0)._1) / (l1.toDouble / l0)
+    def perRoundEff(a: Int, b: Int): Seq[Double] =
+      secsByLevel(a).zip(secsByLevel(b)).map { case (secLo, secHi) =>
+        (secLo / secHi) / (b.toDouble / a)
+      }.toSeq
+    // median-of-per-round-ratios: each round is one tight window, so slow
+    // host drift cancels inside the ratio; > 1.0 median = noise -> re-run
+    var extra = 0
+    while (median(perRoundEff(l0, l1)) > 1.0 && extra < extraRounds) {
+      System.err.println(f"[bench] eff(${l0}->${l1}) median ${median(perRoundEff(l0, l1))}%.3f > 1.0 — noise re-run ${extra + 1}/$extraRounds")
+      runRound(rounds + extra + 1)
+      extra += 1
+    }
+    val effRaw = median(perRoundEff(l0, l1))
+    val noiseFlag = effRaw > 1.0
+    val efficiency = math.min(effRaw, 1.0)
     val effHigh =
-      if (levels.length >= 3)
-        (throughput(levels(2))._1 / throughput(l1)._1) / (levels(2).toDouble / l1)
-      else efficiency
+      if (levels.length >= 3) median(perRoundEff(l1, levels(2)))
+      else effRaw
+    levels.foreach { n =>
+      val secs = secsByLevel(n)
+      System.err.println(f"[bench] local[$n]: secs=${jsonArr(secs.toSeq)}%s min=${secs.min}%.3f coten=${jsonArr(cotenByLevel(n).toSeq)}%s")
+    }
+    val throughput = levels.map { n => n -> (totalTokens / secsByLevel(n).min, secsByLevel(n).min) }.toMap
 
     // ---- phase 3b: probe (lookup) throughput through the native codegen
     // expression at full parallelism — the read-path counterpart of the
     // reference's lookup benchmarks (benchmarks/Main.hs:68-330) ----
     val probeTotal = 400000000L
-    val probeSec = {
+    val probeSecs = {
       val s = session(cpus)
       graft.plans.GraftFunctions.register(s)
       import org.apache.spark.sql.functions.{call_function, lit => flit}
@@ -177,12 +240,39 @@ object Bench {
         .where(call_function(graft.plans.GraftFunctions.BloomMightContainName, flit(bloomBytes), col("t")))
         .count()
       run() // warm
-      val (hits, sec) = time(run())
-      System.err.println(f"[bench] probe: $probeTotal probes in $sec%.3f s (${hits.toDouble / probeTotal}%.4f hit rate)")
-      s.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      sec
+      val laps = (1 to 3).map { _ => time(run())._2 }
+      System.err.println(f"[bench] probe: $probeTotal probes, secs=${jsonArr(laps)}%s")
+      stopSession(s)
+      laps
+    }
+    val probeSec = probeSecs.min
+
+    // ---- phase 3c: MinHash-LSH dedup under dup-heavy skew ----
+    // The sf corpora carry ~20 true near-dup pairs; this phase plants a 10%
+    // near-dup rate at SPARK_GRAFT_LSH_DOCS docs so the candidate-volume
+    // behavior of the banded join is actually measured (round-2 VERDICT #7).
+    val lshDocs = sys.env.getOrElse("SPARK_GRAFT_LSH_DOCS", "1000000").toLong
+    val (lshSec, lshVerified, lshCandidates) = {
+      val s = session(cpus)
+      val path = s"/tmp/graft_bench_lsh_$lshDocs.parquet"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        lshStressCorpus(s, lshDocs, cpus * 4).write.mode("overwrite").parquet(path)
+      }
+      val docs = s.read.parquet(path)
+      def run(): Long = graft.operators.TextPipeline
+        .minHashNearDups(docs, "doc_id", "text", shingleN = 3, numHashes = 128,
+          bands = 32, threshold = 0.7)
+        .count()
+      run() // warm
+      val (verified, sec) = time(run())
+      // candidate volume (untimed diagnostic): pairs entering verification
+      val withSig = graft.operators.TextPipeline
+        .withMinHashSignature(docs, "text", shingleN = 3, numHashes = 128)
+      val cands = graft.operators.TextPipeline
+        .lshCandidatePairs(withSig, "doc_id", bands = 32, rowsPerBand = 4).count()
+      System.err.println(f"[bench] lsh: $lshDocs docs, $verified verified pairs, $cands candidates, $sec%.3f s")
+      stopSession(s)
+      (sec, verified, cands)
     }
 
     // ---- phase 4: empirical FPR vs analytic bound on the bench bloom ----
@@ -197,23 +287,47 @@ object Bench {
     val qJson = queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val totalSec = queries.map(_._2).filter(_ >= 0).sum
     val levelJson = levels.map { n =>
-      f""""tokens_per_sec_n$n":${throughput(n)._1}%.0f,"sec_n$n":${throughput(n)._2}%.3f"""
+      f""""tokens_per_sec_n$n":${throughput(n)._1}%.0f,"sec_n$n":${throughput(n)._2}%.3f,""" +
+        s""""build_secs_n$n":${jsonArr(secsByLevel(n).toSeq)},""" +
+        s""""cotenancy_mhs_n$n":${jsonArr(cotenByLevel(n).toSeq)}"""
     }.mkString(",")
     // per-level-pair efficiencies with the regime IN the field name, so a
     // JSON consumer cannot mistake the low-core ratio for full-scale
-    // efficiency (ADVICE round 1); "scaling_efficiency" stays the headline
-    // N -> 4N figure measured at the pair named by scaling_efficiency_pair.
+    // efficiency; "scaling_efficiency" stays the headline N -> 4N figure
+    // (median of per-round ratios, clamped at 1.0 with the raw value and
+    // noise flag alongside).
     val pairJson = levels.sliding(2).collect { case Seq(a, b) =>
-      val e = (throughput(b)._1 / throughput(a)._1) / (b.toDouble / a)
-      f""""scaling_efficiency_n${a}_n$b":$e%.3f"""
+      f""""scaling_efficiency_n${a}_n$b":${median(perRoundEff(a, b))}%.3f"""
     }.mkString(",")
     println(
       f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","queries":$qJson%s,"sf":"$sfDir%s",""" +
         s""""sketch_build_tokens":$totalTokens,$levelJson,""" +
         f""""scaling_levels":"${levels.mkString(",")}%s",""" +
-        f""""scaling_efficiency":$efficiency%.3f,"scaling_efficiency_pair":"$l0->$l1",""" +
+        f""""scaling_rounds":${secsByLevel(l0).length}%d,""" +
+        f""""scaling_efficiency":$efficiency%.3f,"scaling_efficiency_raw":$effRaw%.3f,""" +
+        f""""scaling_noise_flag":$noiseFlag%s,"scaling_efficiency_pair":"$l0->$l1",""" +
         f""""scaling_efficiency_saturated":$effHigh%.3f,$pairJson%s,""" +
-        f""""probes_per_sec_n$cpus":${probeTotal / probeSec}%.0f,""" +
+        f""""probes_per_sec_n$cpus":${probeTotal / probeSec}%.0f,"probe_secs":${jsonArr(probeSecs)}%s,""" +
+        f""""lsh_docs":$lshDocs,"lsh_sec":$lshSec%.3f,"lsh_docs_per_sec":${lshDocs / lshSec}%.0f,""" +
+        s""""lsh_candidate_pairs":$lshCandidates,"lsh_verified_pairs":$lshVerified,""" +
         f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}""")
+  }
+
+  /** Deterministic dup-heavy corpus: every 10th doc is a near-duplicate of
+    * the cluster head 9 ids earlier (one word substituted out of 30, so
+    * 3-gram-shingle Jaccard = 25/31 ≈ 0.806 — above the 0.7 bench
+    * threshold, below exact equality). Vocabulary ~200k words ⇒ unrelated
+    * docs share almost no shingles. */
+  private[graft] def lshStressCorpus(spark: SparkSession, nDocs: Long, partitions: Int): DataFrame = {
+    val textUdf = udf { (i: Long) =>
+      val base = if (i % 10 == 9) i - 9 else i
+      val words = Array.tabulate(30) { j =>
+        "w" + ((SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, base * 31 + j) & 0x7fffffffL) % 200000)
+      }
+      if (i % 10 == 9) words(7) = "x" + i
+      words.mkString(" ")
+    }
+    spark.range(0, nDocs, 1, partitions)
+      .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
   }
 }

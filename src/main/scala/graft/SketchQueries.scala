@@ -383,6 +383,64 @@ object SketchQueries {
       .orderBy(col("source"))
   }
 
+  /** Misra-Gries heavy hitters for vocab ≫ summary width (round-2 VERDICT
+    * #6 — `cmsTopK`'s exactness needs width ≫ vocab plus candidate
+    * enumeration; this operator needs neither). The key universe is blown
+    * up deterministically: tokens with id % 5 == 0 keep their whole Zipf
+    * mass (planted heavies), every other occurrence splits into ~101
+    * doc-dependent sub-keys — thousands of distinct keys vs capacity 64.
+    * The emitted per-source boolean asserts the summary's EXACT guarantees
+    * against exactly-computed counts (invariant under partitioning/merge
+    * order, hence driver-gateable):
+    *   1. est(x) <= true(x) <= est(x) + D for every stored key;
+    *   2. every key with true(x) > D is present in the summary;
+    *   3. D * capacity <= N (the Misra-Gries error bound).
+    * At 100 TB: one partial-aggregated groupBy; the shuffle carries one
+    * <= capacity-entry summary per (partition, source), row-count-
+    * independent — the same monoid shape as the Bloom/HLL builds. */
+  def heavyHitterMgBound(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.FrequentItems
+    val capacity = 64
+    val t = Tokens.table(spark, dir)
+    val stream = t
+      .select(col("source"), col("doc_id"), explode(col("tokens")).as("token"))
+      .select(col("source"),
+        when(col("token") % 5 === 0, col("token").cast("long") * 1000L)
+          .otherwise(col("token").cast("long") * 1000L + pmod(col("doc_id").cast("long"), lit(101L)) + 1L)
+          .as("key"))
+    val hhUdaf = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
+    val sk = stream.groupBy(col("source")).agg(hhUdaf(col("key")).as("sk"))
+    val entriesUdf = udf { (b: Array[Byte]) =>
+      val s = FrequentItems.fromBytes(b)
+      s.topK(s.capacity).toArray
+    }
+    val dUdf = udf { (b: Array[Byte]) => FrequentItems.fromBytes(b).decremented }
+    val nUdf = udf { (b: Array[Byte]) => FrequentItems.fromBytes(b).total }
+    val meta = sk.select(col("source"), dUdf(col("sk")).as("d"), nUdf(col("sk")).as("n"),
+      entriesUdf(col("sk")).as("entries"))
+    val entries = meta.select(col("source"), col("d"), explode(col("entries")).as("e"))
+      .select(col("source"), col("d"), col("e._1").as("key"), col("e._2").as("est"))
+    val exact = stream.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))
+    // (1) stored-key sandwich: est <= cnt <= est + D
+    val sandwich = entries.join(exact, Seq("source", "key"))
+      .groupBy(col("source"))
+      .agg(min(col("est") <= col("cnt") && col("cnt") <= col("est") + col("d")).as("sandwich_ok"))
+    // (2) guaranteed presence: no key with cnt > D missing from the summary
+    val missed = exact
+      .join(meta.select(col("source"), col("d")), "source")
+      .where(col("cnt") > col("d"))
+      .join(entries.select(col("source"), col("key")), Seq("source", "key"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_missed"))
+    // (3) the error budget: D * capacity <= N
+    meta.select(col("source"), (col("d") * capacity <= col("n")).as("budget_ok"))
+      .join(sandwich, "source")
+      .join(missed, Seq("source"), "left")
+      .select(col("source"),
+        (col("budget_ok") && col("sandwich_ok") && coalesce(col("n_missed"), lit(0L)) === 0L)
+          .as("within_bound"))
+      .orderBy(col("source"))
+  }
+
   /** Exact per-doc token count through the tokens table (text analysis:
     * token counting; trivially SQL-checkable). */
   def tokenCountExact(spark: SparkSession, dir: String): DataFrame =

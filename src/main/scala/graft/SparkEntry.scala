@@ -37,6 +37,8 @@ object SparkEntry {
     "q_hll_event_users_bound" -> (SketchQueries.hllEventUsersBound _),
     "q_cms_heavyhitter_bound" -> (SketchQueries.cmsHeavyHitterBound _),
     "q_cms_topk" -> ((s: SparkSession, d: String) => SketchQueries.cmsTopK(s, d)),
+    // Misra-Gries heavy hitters for vocab >> width (guarantee invariants)
+    "q_heavyhitter_mg_bound" -> (SketchQueries.heavyHitterMgBound _),
     "q_bloom_intersect_exact" -> (SketchQueries.bloomIntersectExact _),
     "q_kll_ntok_quantile_bound" -> (SketchQueries.kllNtokQuantileBound _),
     "q_tdigest_ntok_quantile_bound" -> (SketchQueries.tdigestNtokQuantileBound _),
@@ -63,6 +65,10 @@ object SparkEntry {
     // Structured Streaming surface: windowed sketch build + probe
     "q_streaming_bloom_windows" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingSketch.replayBloomWindows(
+        s, dir, SketchQueries.bloomCfg, SketchQueries.hllP)),
+    // append-mode watermark semantics: deterministic late-data drop
+    "q_streaming_append_latedrop" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingSketch.replayBloomWindowsAppend(
         s, dir, SketchQueries.bloomCfg, SketchQueries.hllP))
   )
 
@@ -108,6 +114,7 @@ object SparkEntry {
           "WHERE w2 <> '' AND source = (SELECT min(source) FROM (SELECT DISTINCT source FROM documents) s " +
           "WHERE source > (SELECT min(source) FROM documents)))"),
       "q_hll_distinct_tokens_bound" -> boundOracle,
+      "q_heavyhitter_mg_bound" -> boundOracle,
       "q_hll_distinct_docs_bound" -> boundOracle,
       "q_cms_heavyhitter_bound" -> boundOracle,
       "q_kll_ntok_quantile_bound" -> boundOracle,
@@ -204,6 +211,15 @@ object SparkEntry {
         ("SELECT CAST((doc_id % 600) // 60 AS BIGINT) AS win, source, " +
           "CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_present " +
           "FROM documents GROUP BY win, source HAVING n_present > 0 ORDER BY win, source"),
+      // append mode: rows with (doc_id % 600) < 300 replay AFTER the
+      // watermark has passed their windows' end, so Spark must drop every
+      // one of them — the oracle recomputes per-window counts over the
+      // SURVIVING half only (see StreamingSketch.replayBloomWindowsAppend).
+      "q_streaming_append_latedrop" ->
+        ("SELECT CAST((doc_id % 600) // 60 AS BIGINT) AS win, source, " +
+          "CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_present " +
+          "FROM documents WHERE (doc_id % 600) >= 300 " +
+          "GROUP BY win, source HAVING n_present > 0 ORDER BY win, source"),
       // the language-ID heuristic re-expressed in SQL: marker-word votes
       // over the distinct lowercased word set, ties to the lexically
       // largest language (maxBy on (score, lang)), CJK/Cyrillic ranges

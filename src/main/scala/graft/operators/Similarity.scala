@@ -142,9 +142,9 @@ object Similarity {
 
   /** IVF-Flat index: embeddings assigned to their nearest centroid, so a
     * query scans only the `nProbe` most query-similar clusters instead of
-    * the whole table. Centroids are a deterministic sample (smallest
-    * SipHash(id) — reproducible across runs/executors); a k-means
-    * refinement is a drop-in replacement for `centroids`. At scale the
+    * the whole table. Centroids start from a deterministic sample (smallest
+    * SipHash(id) — reproducible across runs/executors) and are refined by
+    * spherical-k-means Lloyd iterations (see [[ivfBuild]]). At scale the
     * indexed table is written partitioned by `cluster` so a query prunes
     * partitions at the source. */
   final case class IvfIndex(centroids: Array[Array[Float]], indexed: DataFrame)
@@ -161,24 +161,55 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
   }
 
-  def ivfBuild(embeddings: DataFrame, idCol: String, embCol: String, numClusters: Int): IvfIndex = {
+  /** Nearest-centroid assignment by cosine (serializable closure body). */
+  private def nearestCluster(centroids: Array[Array[Float]], emb: Array[Float]): Int = {
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cos = localCosine(emb, centroids(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Build an IVF-Flat index: deterministic SipHash-sample seeds refined by
+    * `lloydIters` spherical-k-means iterations (assign to the most-cosine-
+    * similar centroid, recentre on the assigned vectors' mean — for cosine
+    * the mean's DIRECTION is the spherical-k-means centroid, and cosine is
+    * scale-invariant, so the unnormalized mean is used directly).
+    *
+    * 100 TB shape per iteration: one map-side assignment (centroids ride in
+    * the closure, constant size) + one partial-aggregated groupBy whose
+    * shuffle is O(numClusters x dim) rows — row-count-independent. Only the
+    * numClusters x dim mean table is ever collected. Empty clusters keep
+    * their previous centroid. Centroid components round to Float, which
+    * also absorbs double-summation-order jitter across runs. */
+  def ivfBuild(embeddings: DataFrame, idCol: String, embCol: String, numClusters: Int,
+      lloydIters: Int = 8): IvfIndex = {
     val hashIdUdf = udf { (id: Long) => SipHash.hashLong(K0, K1, id) }
-    val centroids = embeddings
-      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+    val e = embeddings.select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+    var centroids = e
       .orderBy(hashIdUdf(col("id")), col("id"))
       .limit(numClusters)
       .collect()
       .map(_.getSeq[Float](1).toArray)
-    val assignUdf = udf { (emb: Array[Float]) =>
-      var best = 0; var bestCos = Double.NegativeInfinity
-      var c = 0
-      while (c < centroids.length) {
-        val cos = localCosine(emb, centroids(c))
-        if (cos > bestCos) { bestCos = cos; best = c }
-        c += 1
-      }
-      best
+    var iter = 0
+    while (iter < lloydIters) {
+      val cs = centroids
+      val assign = udf { (emb: Array[Float]) => nearestCluster(cs, emb) }
+      val means = e
+        .select(assign(col("emb")).as("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(col("v").cast("double")) / count(lit(1))).as("mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
+      centroids = next
+      iter += 1
     }
+    val finalCs = centroids
+    val assignUdf = udf { (emb: Array[Float]) => nearestCluster(finalCs, emb) }
     val indexed = embeddings.select(
       col(idCol).as("id"), col(embCol).as("emb"), assignUdf(col(embCol)).as("cluster"))
     IvfIndex(centroids, indexed)

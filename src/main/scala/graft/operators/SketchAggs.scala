@@ -351,4 +351,26 @@ object SketchAggs {
     override def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
+
+  // ---------------------------------------------- frequent items (MG/SS)
+
+  /** Misra-Gries heavy-hitter summary over a long key column — top-k when
+    * the key universe is far larger than any counter table (vocab ≫ width),
+    * where the CMS + exact-candidate-enumeration pattern stops scaling.
+    * Exact invariants (est <= true <= est + D; true > D ⇒ present;
+    * D <= N/capacity) hold for ANY partitioning/merge order, so a driver
+    * gate can assert them even though the summary content itself is
+    * order-dependent. */
+  final class HeavyHittersLongAgg(capacity: Int)
+      extends Aggregator[Long, FrequentItems.Summary, Array[Byte]] {
+    override def zero: FrequentItems.Summary = new FrequentItems.Summary(capacity)
+    override def reduce(buf: FrequentItems.Summary, x: Long): FrequentItems.Summary = {
+      buf.add(x); buf
+    }
+    override def merge(b1: FrequentItems.Summary, b2: FrequentItems.Summary): FrequentItems.Summary =
+      b1.mergeInPlace(b2)
+    override def finish(buf: FrequentItems.Summary): Array[Byte] = FrequentItems.toBytes(buf)
+    override def bufferEncoder: Encoder[FrequentItems.Summary] = Encoders.kryo[FrequentItems.Summary]
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
 }

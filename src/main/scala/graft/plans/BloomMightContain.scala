@@ -358,6 +358,8 @@ object GraftFunctions {
     spark.udf.register("graft_bloom_merge", udaf(new BloomMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_bloom_tokens_newcount",
       udaf(new BloomTokensNewCountAgg(bloomCfg), tokensEnc))
+    spark.udf.register("graft_heavyhitter",
+      udaf(new HeavyHittersLongAgg(64), ExpressionEncoder[Long]()))
     // graft_bloom_intersect/union + the estimate readers are native
     // expressions (registered by registerExpressions above); no UDF path.
   }

@@ -55,7 +55,13 @@ object StreamingSketch {
     *
     * Event time is synthetic-but-deterministic: epoch0 + (doc_id mod 600)
     * seconds, giving ten 1-minute windows. Windows are keyed by absolute
-    * epoch arithmetic (timezone-proof). */
+    * epoch arithmetic (timezone-proof).
+    *
+    * NOTE (driver-side materialization): the replay harness collects the
+    * token fixture to the driver to feed MemoryStream — that is inherent
+    * to replaying a batch fixture as a stream and is CAPPED below; it is
+    * NOT a production entry point. Production streams go through
+    * [[perSourceWindowedSketches]] on a real `readStream` source. */
   def replayBloomWindows(spark: SparkSession, dir: String,
       bloomCfg: BloomConfig, hllP: Int): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -67,12 +73,7 @@ object StreamingSketch {
     // fixture replay: rows leave the cluster once, as a stream would arrive.
     // Three interleaved chunks -> multiple micro-batches with out-of-order
     // event time (merge order-insensitivity is the property under test).
-    val rows = t.select(col("doc_id"), col("source"), col("tokens")).collect().map { r =>
-      val id = r.getString(0).toLong
-      (Timestamp.from(Instant.ofEpochSecond(epoch0 + id % 600)),
-        r.getString(1),
-        r.getAs[scala.collection.Seq[Int]](2).toArray)
-    }
+    val rows = collectReplayRows(t, epoch0)
     val stream = MemoryStream[(Timestamp, String, Array[Int])]
     val streamed = stream.toDF().toDF("ts", "source", "tokens")
     // watermark covers the whole 600 s replay span: the chunks interleave
@@ -118,6 +119,99 @@ object StreamingSketch {
       .agg(count(lit(1)).as("n_present"))
       .orderBy(col("win"), col("source"))
   }
+
+  /** Replay-harness row collection, capped so the fixture path cannot be
+    * pointed at a production-size table (driver OOM guard — ADVICE r2). */
+  private def collectReplayRows(t: DataFrame, epoch0: Long): Array[(Timestamp, String, Array[Int])] = {
+    val n = t.count()
+    require(n <= 2000000L,
+      s"replay harness materializes the token table on the driver ($n rows); " +
+        "use perSourceWindowedSketches on a real readStream source for production data")
+    t.select(col("doc_id"), col("source"), col("tokens")).collect().map { r =>
+      val id = r.getString(0).toLong
+      (Timestamp.from(Instant.ofEpochSecond(epoch0 + id % 600)),
+        r.getString(1),
+        r.getAs[scala.collection.Seq[Int]](2).toArray)
+    }
+  }
+
+  /** APPEND-MODE driver query (`q_streaming_append_latedrop`): watermark
+    * semantics — not just merge order-insensitivity — under the oracle.
+    *
+    * Replay plan (event time = epoch0 + doc_id mod 600 s, 60 s windows,
+    * 120 s watermark delay):
+    *   batch 1: the docs with (doc_id mod 600) >= 300 — after it the
+    *            watermark stands at 599 - 120 = 479 s;
+    *   batch 2: the docs with (doc_id mod 600) < 300 — every row's window
+    *            ends at or before 300 s <= 479 s, so Spark MUST drop all of
+    *            them as late (the property under test);
+    *   batches 3-4: one empty-token sentinel row each at 900/901 s pushes
+    *            the watermark to 780 s, closing (emitting) every real
+    *            window; the sentinel's own window never closes and its
+    *            source is filtered out of the result.
+    * The sink then holds exactly the windows [300 s, 600 s) built from
+    * batch-1 rows only. Probing each window's Bloom with the SURVIVING
+    * docs' token stream counts exactly (no false negatives), so DuckDB
+    * recomputes the result as per-(window, source) token counts WHERE
+    * (doc_id % 600) >= 300 — if late rows leaked into state, extra windows
+    * or inflated counts would break the hash match. */
+  def replayBloomWindowsAppend(spark: SparkSession, dir: String,
+      bloomCfg: BloomConfig, hllP: Int): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val epoch0 = Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    val t = graft.sources.Tokens.table(spark, dir)
+    val rows = collectReplayRows(t, epoch0)
+    val (onTime, late) = rows.partition(r => secondOf(r._1, epoch0) >= 300)
+    def sentinel(sec: Long) =
+      (Timestamp.from(Instant.ofEpochSecond(epoch0 + sec)), "zz_sentinel", Array.empty[Int])
+
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val streamed = stream.toDF().toDF("ts", "source", "tokens")
+    val windowed = perSourceWindowedSketches(
+      streamed, "ts", watermarkDelay = "120 seconds", windowDuration = "60 seconds",
+      bloomCfg, hllP)
+    val sinkName = "graft_stream_append_windows"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = windowed.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try {
+        Seq(onTime.toSeq, late.toSeq, Seq(sentinel(900)), Seq(sentinel(901))).foreach { batch =>
+          stream.addData(batch)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    val windows = spark.table(sinkName)
+      .where(col("source") =!= "zz_sentinel")
+      .select(
+        ((col("window.start").cast("long") - epoch0) / 60).cast("long").as("win"),
+        col("source"), col("bloom"))
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val probe = t
+      .where(col("doc_id").cast("long") % 600 >= 300)
+      .select(
+        ((col("doc_id").cast("long") % 600) / 60).cast("long").as("win"),
+        col("source"), explode(col("tokens")).as("token"))
+    probe
+      .join(broadcast(windows), Seq("win", "source"))
+      .where(graft.plans.GraftFunctions.bloomMightContain(col("bloom"), col("token")))
+      .groupBy(col("win"), col("source"))
+      .agg(count(lit(1)).as("n_present"))
+      .orderBy(col("win"), col("source"))
+  }
+
+  private def secondOf(ts: Timestamp, epoch0: Long): Long =
+    ts.toInstant.getEpochSecond - epoch0
 
   /** Streaming heavy-hitter sketches: count-min per (window, source). */
   def windowedCountMin(

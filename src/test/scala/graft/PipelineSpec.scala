@@ -177,8 +177,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pruned = Similarity.ivfSearch(index, query, 10, nProbe = 4)
     assert(pruned.count() === 10)
     val recall = pruned.collect().map(_.getLong(0)).count(exact.contains).toDouble / 10
-    assert(recall >= 0.3, s"IVF recall@10 with 4/16 probes unreasonably low: $recall")
+    // Lloyd-refined centroids (round-2 VERDICT #3) lift this fixture from
+    // 0.3-0.4 (sampled seeds) to 0.6 measured — but the fixture embeddings
+    // are near-random (no planted cluster structure; only one pair above
+    // cos 0.6 in the whole corpus), which caps nProbe=4/16 recall around
+    // scan-fraction + epsilon NO MATTER how good the centroids are. The
+    // >=0.9 recall floor lives in the planted-structure test below, where
+    // the property is actually measurable.
+    assert(recall >= 0.5, s"IVF recall@10 with 4/16 probes too low for k-means centroids: $recall")
     index.indexed.unpersist()
+  }
+
+  test("IVF-Flat with k-means centroids: recall >= 0.9 at nProbe 4/16 on planted clusters") {
+    import spark.implicits._
+    // 16 planted archetype directions (deterministic rademacher vectors,
+    // near-orthogonal at dim 64) + bounded per-vector noise: same-cluster
+    // cosine stays high, cross-cluster near 0 — the regime IVF exists for.
+    val dim = 64
+    val k = 16
+    val n = 1024
+    def unit(v: Array[Float]): Array[Float] = {
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / nrm)
+    }
+    def arche(c: Int): Array[Float] = unit(Array.tabulate(dim) { j =>
+      if ((graft.core.SipHash.hashLong(0xA11CEL, c.toLong, j.toLong) & 1L) == 1L) 1f else -1f
+    })
+    def noise(i: Int): Array[Float] = Array.tabulate(dim) { j =>
+      val h = graft.core.SipHash.hashLong(0xB0B5EL, i.toLong, j.toLong)
+      ((h & 0xffff).toFloat / 0xffff - 0.5f) * 0.35f
+    }
+    val archetypes = (0 until k).map(arche)
+    val rows = (0L until n.toLong).map { i =>
+      val base = archetypes((i % k).toInt)
+      (i, unit(base.zip(noise(i.toInt)).map { case (b, e) => b + e }))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val query = rows.head._2 // member of planted cluster 0
+    val candidates = emb.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(candidates, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val index = Similarity.ivfBuild(candidates, "vec_id", "embedding", numClusters = k)
+    index.indexed.persist()
+    val got = Similarity.ivfSearch(index, query, 10, nProbe = 4)
+      .collect().map(_.getLong(0))
+    val recall = got.count(exact.contains).toDouble / 10
+    index.indexed.unpersist()
+    assert(recall >= 0.9, s"planted-cluster IVF recall@10 at nProbe=4/16: $recall")
   }
 
   test("quality metrics agree with a straightforward recomputation") {

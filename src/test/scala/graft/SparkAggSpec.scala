@@ -217,6 +217,27 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(SparkEntry.queries.contains(k), s"oracle $k has no query"))
   }
 
+  test("heavy-hitter MG query: every per-source guarantee boolean true at sf0.001") {
+    val rows = SketchQueries.heavyHitterMgBound(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 20)
+    rows.foreach(r => assert(r.getBoolean(1), s"guarantees violated for ${r.getString(0)}"))
+  }
+
+  test("graft_heavyhitter SQL surface: summary respects capacity and dominant key ranks first") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // key 7 holds 30% of the stream; universe ~8k keys >> capacity 64
+    (0 until 20000).map { i =>
+      if (i % 10 < 3) 7L else 100L + (graft.core.SipHash.hashLong(1L, 2L, i.toLong) & 0x1fffL)
+    }.toDF("key").createOrReplaceTempView("hh_in")
+    val bytes = spark.sql("SELECT graft_heavyhitter(key) FROM hh_in").head().getAs[Array[Byte]](0)
+    val s = graft.core.FrequentItems.fromBytes(bytes)
+    assert(s.size <= 64)
+    assert(s.total === 20000L)
+    assert(s.topK(1).head._1 === 7L)
+    assert(s.decremented * 64 <= s.total)
+  }
+
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
     val dir = "/root/testdata/sf0.001"
     val a = Tokens.table(spark, dir).orderBy("doc_id").collect()

@@ -110,6 +110,25 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("append-mode replay driver query: exact counts over the surviving half only") {
+    val out = StreamingSketch.replayBloomWindowsAppend(
+      spark, "/root/testdata/sf0.001", BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 10), 12)
+      .collect()
+    val t = graft.sources.Tokens.table(spark, "/root/testdata/sf0.001")
+    val expected = t
+      .where(col("doc_id").cast("long") % 600 >= 300)
+      .select(((col("doc_id").cast("long") % 600) / 60).cast("long").as("win"),
+        col("source"), col("n_tok").cast("long").as("n_tok"))
+      .groupBy(col("win"), col("source")).agg(sum(col("n_tok")).as("n"))
+      .where(col("n") > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = out.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected,
+      "append-mode result must equal exact counts over the on-time half (late half dropped)")
+    assert(got.nonEmpty && got.keys.forall(_._1 >= 5),
+      s"only windows [300s,600s) may be emitted, got wins ${got.keys.map(_._1).toSeq.sorted}")
+  }
+
   test("late data beyond the watermark is dropped (append-mode semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
