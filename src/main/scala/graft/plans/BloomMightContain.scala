@@ -360,6 +360,19 @@ object GraftFunctions {
       udaf(new BloomTokensNewCountAgg(bloomCfg), tokensEnc))
     spark.udf.register("graft_heavyhitter",
       udaf(new HeavyHittersLongAgg(64), ExpressionEncoder[Long]()))
+    // readers over the serialized Misra-Gries summary: top-k entries (ties
+    // by key — deterministic), the one-sided error bound D, and total N.
+    // Per-group rows only, so a UDF boundary is immaterial here.
+    import org.apache.spark.sql.functions.udf
+    spark.udf.register("graft_heavyhitter_topk", udf { (b: Array[Byte], k: Int) =>
+      if (b == null) null else graft.core.FrequentItems.fromBytes(b).topK(k)
+    })
+    spark.udf.register("graft_heavyhitter_error", udf { (b: Array[Byte]) =>
+      if (b == null) null else java.lang.Long.valueOf(graft.core.FrequentItems.fromBytes(b).decremented)
+    })
+    spark.udf.register("graft_heavyhitter_total", udf { (b: Array[Byte]) =>
+      if (b == null) null else java.lang.Long.valueOf(graft.core.FrequentItems.fromBytes(b).total)
+    })
     // graft_bloom_intersect/union + the estimate readers are native
     // expressions (registered by registerExpressions above); no UDF path.
   }

@@ -236,6 +236,13 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.total === 20000L)
     assert(s.topK(1).head._1 === 7L)
     assert(s.decremented * 64 <= s.total)
+    // pure-SQL read path
+    val r = spark.sql(
+      """SELECT graft_heavyhitter_topk(sk, 1)[0].`_1` AS top_key,
+        |       graft_heavyhitter_error(sk) AS d, graft_heavyhitter_total(sk) AS n
+        |FROM (SELECT graft_heavyhitter(key) AS sk FROM hh_in)""".stripMargin).head()
+    assert(r.getLong(0) === 7L)
+    assert(r.getLong(1) === s.decremented && r.getLong(2) === 20000L)
   }
 
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
