@@ -171,10 +171,12 @@ object SparkEntry {
       // in-Spark): identical-text pairs are always reported, at hamming 0.
       "q_simhash_dups" ->
         "SELECT true AS contains_all_exact_dup_pairs, true AS exact_dups_hamming_zero",
-      // exact top-10 by cosine: DuckDB mirrors the Spark HOF formula
-      // (double dot / (norm*norm), same element order); the rank-10/11
+      // exact top-10 by cosine: DuckDB mirrors the double formula the
+      // native graft_cosine_sim expression evaluates (sequential double
+      // accumulation over the same element order); the rank-10/11
       // boundary gap is >= 9e-4 on every sf fixture, so cross-engine
-      // float noise (~1e-15) cannot flip membership or order.
+      // float noise (~1e-15, incl. sqrt(na*nb) vs sqrt(na)*sqrt(nb))
+      // cannot flip membership or order.
       "q_embedding_topk" ->
         ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
           "c AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id <> 0) " +

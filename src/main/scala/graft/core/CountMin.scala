@@ -88,6 +88,14 @@ object CountMin {
     estimateHash(buf, cfg, lo, hi | 1L)
   }
 
+  /** Estimate from raw UTF-8 bytes — same hash as [[estimateString]]
+    * (`hash128String` is `hash128` over UTF-8 bytes), lets codegen callers
+    * probe a `UTF8String` without materializing a `java.lang.String`. */
+  def estimateBytes(buf: Array[Long], cfg: CmsConfig, utf8: Array[Byte]): Long = {
+    val (hi, lo) = SipHash.hash128(cfg.k0, cfg.k1, utf8)
+    estimateHash(buf, cfg, lo, hi | 1L)
+  }
+
   /** Total inserted weight N. */
   def totalCount(buf: Array[Long], cfg: CmsConfig): Long = buf(cfg.depth * cfg.width)
 

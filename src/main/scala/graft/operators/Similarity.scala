@@ -7,8 +7,9 @@ import graft.core.{Keys, SipHash}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * - `cosineTo`: codegen'd cosine similarity via built-in higher-order
-  *   functions (`zip_with` + `aggregate`), no UDF in the hot path.
+  * - `cosineTo` / `cosineCols`: the native codegen expression
+  *   `graft_cosine_sim` (UnsafeArrayData read in place, no UDF, no
+  *   interpreted HOF lambdas in any hot path).
   * - `bruteForceTopK`: exact baseline — one scan, local top-k per
   *   partition, global k-merge (Spark's sort-limit does exactly this:
   *   TakeOrderedAndProject, no full sort, no full shuffle).
@@ -23,18 +24,17 @@ object Similarity {
   val K1: Long = Keys.DefaultK1
 
   /** Cosine similarity between an embedding column and a fixed query
-    * vector, computed with built-in HOFs (whole-stage codegen, no UDF). */
-  def cosineTo(embCol: Column, query: Array[Float]): Column = {
-    val q = lit(query.map(_.toDouble))
-    val emb = transform(embCol, x => x.cast("double"))
-    val dot = aggregate(zip_with(emb, q, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
-    val nA = sqrt(aggregate(emb, lit(0.0), (acc, v) => acc + v * v))
-    val nB = lit(math.sqrt(query.map(x => x.toDouble * x).sum))
-    // zero-norm vectors: cosine undefined -> -1.0 (Spark sorts/compares NaN
-    // ABOVE every double, so a NaN would rank first in top-k and pass
-    // >= threshold filters)
-    when(nA * nB === 0.0, lit(-1.0)).otherwise(dot / (nA * nB))
-  }
+    * vector — `graft_cosine_sim(emb, lit(query))`, the native codegen
+    * expression with a foldable right side. Replaces the round-1/2
+    * higher-order-function formulation: Spark evaluates HOF lambdas
+    * INTERPRETIVELY per element (measured ~40x slower than a primitive
+    * loop), which at 100 TB made one-vs-many cosine the bottleneck of
+    * brute-force/IVF search. Zero-norm vectors yield -1.0, never NaN
+    * (Spark sorts NaN above every double, so a NaN would rank first in
+    * top-k and pass >= threshold filters). Callers must have registered
+    * the graft expressions (every entry point in this object does). */
+  def cosineTo(embCol: Column, query: Array[Float]): Column =
+    graft.plans.VectorFunctions.cosineSim(embCol, typedlit(query))
 
   /** Cosine between two embedding columns (for pair verification) — the
     * native codegen expression `graft_cosine_sim` (reads the
@@ -52,11 +52,13 @@ object Similarity {
     * baseline. Physical plan: TakeOrderedAndProject (per-partition heap +
     * driver k-merge), not a global sort. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, embCol: String,
-      query: Array[Float], k: Int): DataFrame =
+      query: Array[Float], k: Int): DataFrame = {
+    graft.plans.GraftFunctions.registerExpressions(embeddings.sparkSession)
     embeddings
       .select(col(idCol), cosineTo(col(embCol), query).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+  }
 
   /** Deterministic ±1 hyperplane component for (plane i, dimension j). */
   @inline private def rademacher(i: Int, j: Int): Double =
@@ -219,6 +221,7 @@ object Similarity {
     * most similar to the query. nProbe = numClusters degenerates to exact
     * brute force (tested). */
   def ivfSearch(index: IvfIndex, query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    graft.plans.GraftFunctions.registerExpressions(index.indexed.sparkSession)
     val probes = index.centroids.zipWithIndex
       .map { case (c, i) => (i, localCosine(query, c)) }
       .sortBy { case (i, cos) => (-cos, i) }

@@ -115,7 +115,7 @@ case class CmsEstimateExpr(left: Expression, right: Expression, k0: Long, k1: Lo
 
   def estimateUTF8(bytes: Array[Byte], s: UTF8String): Long = {
     val c = cache.get(bytes)
-    CountMin.estimateString(c.buf, c.cfg, s.toString)
+    CountMin.estimateBytes(c.buf, c.cfg, s.getBytes)
   }
 
   override def nullSafeEval(sketchVal: Any, elemVal: Any): Any = right.dataType match {

@@ -62,6 +62,26 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"graft_cms_estimate not inside WholeStageCodegen:\n${est.queryExecution.executedPlan}")
   }
 
+  test("graft_cms_estimate string path: UTF8String bytes hash identically to String") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cms = graft.core.CmsConfig(Keys.DefaultK0, Keys.DefaultK1, 5, 8)
+    val buf = graft.core.CountMin.empty(cms)
+    val words = Seq("alpha", "beta", "héllo wörld", "空", "")
+    words.zipWithIndex.foreach { case (w, i) =>
+      (0 to i).foreach(_ => graft.core.CountMin.addString(buf, cms, w))
+    }
+    val sk = graft.core.CountMin.toBytes(buf, cms, graft.core.BlockedBloom.TypeTag.String)
+    val got = words.map(w => (sk, w)).toDF("sk", "w")
+      .selectExpr("w", "graft_cms_estimate(sk, w) AS est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(w) === graft.core.CountMin.estimateString(buf, cms, w),
+        s"native string estimate diverged for '$w'")
+      assert(got(w) >= i + 1L, s"one-sidedness violated for '$w'")
+    }
+  }
+
   test("graft_hll_estimate / quantile readers agree with core implementations") {
     import spark.implicits._
     GraftFunctions.register(spark)
