@@ -25,6 +25,11 @@ object GoldenGen {
     (1 to 3000).foreach(i => CountMin.addInt(buf, cms, i % 100))
     java.nio.file.Files.write(outDir.resolve("cms_4_8.bin"),
       CountMin.toBytes(buf, cms, BlockedBloom.TypeTag.Int))
+    // Misra-Gries: fixed serial insertion order -> deterministic content;
+    // serialization sorts entries by key -> byte-deterministic
+    val hh = new FrequentItems.Summary(16)
+    (0 until 12000).foreach(i => hh.add(if (i % 2 == 0) (i / 2) % 8 else 100L + i % 3000))
+    java.nio.file.Files.write(outDir.resolve("freqitems_16.bin"), FrequentItems.toBytes(hh))
     println("golden files written")
   }
 }

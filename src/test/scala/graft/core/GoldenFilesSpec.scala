@@ -44,6 +44,19 @@ class GoldenFilesSpec extends AnyFunSuite {
     assert(math.abs(est - 5000) <= 4 * Hll.stdError(10) * 5000)
   }
 
+  test("frequent-items golden file: byte-identical rebuild, guarantees hold") {
+    val hh = new FrequentItems.Summary(16)
+    (0 until 12000).foreach(i => hh.add(if (i % 2 == 0) (i / 2) % 8 else 100L + i % 3000))
+    val fresh = FrequentItems.toBytes(hh)
+    val stored = golden("freqitems_16.bin")
+    assert(java.util.Arrays.equals(fresh, stored), "FrequentItems golden drift")
+    val back = FrequentItems.fromBytes(stored)
+    assert(back.total === 12000L)
+    assert(back.decremented * back.capacity <= back.total)
+    // the 8 planted heavies (each 750 occurrences > D <= 375) must all be present
+    (0L until 8L).foreach(k => assert(back.contains(k), s"planted heavy $k missing"))
+  }
+
   test("cms golden file: byte-identical rebuild and exact point estimates") {
     val cms = CmsConfig(k0, k1, 4, 8)
     val buf = CountMin.empty(cms)

@@ -162,6 +162,20 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z === -1.0)
   }
 
+  test("null semantics: null sketch/argument yields null through every reader") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_hll_estimate(CAST(NULL AS BINARY)) AS a,
+        |       graft_cms_estimate(CAST(NULL AS BINARY), 7) AS b,
+        |       graft_cms_total(CAST(NULL AS BINARY)) AS c,
+        |       graft_kll_quantile(CAST(NULL AS BINARY), 0.5) AS d,
+        |       graft_tdigest_quantile(CAST(NULL AS BINARY), 0.5) AS e,
+        |       graft_cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS f,
+        |       graft_bloom_union(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) AS g""".stripMargin)
+      .head()
+    (0 until 7).foreach(i => assert(r.isNullAt(i), s"column $i must be null"))
+  }
+
   test("cross-type foldable probe: rejected at ANALYSIS, codegen path never throws") {
     import spark.implicits._
     GraftFunctions.register(spark)
