@@ -40,4 +40,33 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val miss = spark.sql(s"SELECT graft_bloom_might_contain(X'$hex', 1000000)").head().getBoolean(0)
     assert(!miss || BlockedBloom.containsInt(words, cfg, 1000000))
   }
+
+  test("round-3 injected functions: set ops, readers, cosine resolve from pure SQL") {
+    val cfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 8)
+    val words = new Array[Long](cfg.l)
+    Seq(7, 8, 9).foreach(BlockedBloom.insertInt(words, cfg, _))
+    val hex = BlockedBloom.toBytes(words, cfg, BlockedBloom.TypeTag.Int).map("%02x".format(_)).mkString
+    val u = spark.sql(
+      s"SELECT graft_bloom_might_contain(graft_bloom_union(X'$hex', X'$hex'), 8)").head().getBoolean(0)
+    assert(u, "injected graft_bloom_union must preserve members")
+    val i = spark.sql(
+      s"SELECT graft_bloom_might_contain(graft_bloom_intersect(X'$hex', X'$hex'), 9)").head().getBoolean(0)
+    assert(i, "injected graft_bloom_intersect must preserve common members")
+
+    val hllBytes = {
+      val regs = graft.core.Hll.empty(10)
+      (1 to 1000).foreach(x => graft.core.Hll.addHash(regs, 10,
+        graft.core.SipHash.hashInt(Keys.DefaultK0, Keys.DefaultK1, x)))
+      graft.core.Hll.toBytes(regs, 10, BlockedBloom.TypeTag.Int,
+        graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, Keys.DefaultK0 ^ Keys.DefaultK1))
+    }
+    val hexHll = hllBytes.map("%02x".format(_)).mkString
+    val est = spark.sql(s"SELECT graft_hll_estimate(X'$hexHll')").head().getDouble(0)
+    assert(math.abs(est - 1000.0) < 100.0, s"injected graft_hll_estimate: $est")
+
+    val cos = spark.sql(
+      "SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
 }

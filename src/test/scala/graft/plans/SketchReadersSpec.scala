@@ -162,6 +162,30 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z === -1.0)
   }
 
+  test("graft_bloom_union/intersect across different filter sizes fold to the smaller") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def sk(log2l: Int, tokens: Range): Array[Byte] = {
+      val cfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, log2l)
+      val words = new Array[Long](cfg.l)
+      tokens.foreach(t => graft.core.BlockedBloom.insertInt(words, cfg, t))
+      graft.core.BlockedBloom.toBytes(words, cfg, graft.core.BlockedBloom.TypeTag.Int)
+    }
+    // big (2^12 words) vs small (2^7 words): reference semantics fold the
+    // larger down to the smaller; union keeps both sides' members
+    Seq((sk(12, 200 to 600), sk(7, 400 to 800))).toDF("a", "b").createOrReplaceTempView("xsize_t")
+    val u = spark.sql("SELECT graft_bloom_union(a, b) AS u FROM xsize_t").head().getAs[Array[Byte]](0)
+    val (ucfg, uw, _) = graft.core.BlockedBloom.fromBytes(Keys.DefaultK0, Keys.DefaultK1, u)
+    assert(ucfg.log2l === 7, "union must fold to the smaller filter")
+    (200 to 800).foreach(t =>
+      assert(graft.core.BlockedBloom.containsInt(uw, ucfg, t), s"cross-size union lost $t"))
+    val i = spark.sql("SELECT graft_bloom_intersect(a, b) AS i FROM xsize_t").head().getAs[Array[Byte]](0)
+    val (icfg, iw, _) = graft.core.BlockedBloom.fromBytes(Keys.DefaultK0, Keys.DefaultK1, i)
+    assert(icfg.log2l === 7)
+    (400 to 600).foreach(t =>
+      assert(graft.core.BlockedBloom.containsInt(iw, icfg, t), s"intersect lost common element $t"))
+  }
+
   test("null semantics: null sketch/argument yields null through every reader") {
     GraftFunctions.register(spark)
     val r = spark.sql(
