@@ -35,15 +35,18 @@ for q in sorted(os.listdir(out_dir)):
     if rows and schema:
         # numeric columns compare with an absolute tolerance (round-then-
         # stringify produced spurious FAILs on float-repr edge cases);
-        # everything else compares as strings
+        # everything else compares as strings. A per-column dtype mismatch
+        # (float vs non-numeric strings) is itself a FAIL, not a crash.
         import numpy as np
         match = True
-        a, b = [], []
         for c in s_cols:
             sv, ov = spark_df[c], ora_df[c]
             if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
-                col_ok = bool(np.isclose(sv.astype(float).values, ov.astype(float).values,
-                                         rtol=0.0, atol=1e-9, equal_nan=True).all())
+                try:
+                    col_ok = bool(np.isclose(sv.astype(float).values, ov.astype(float).values,
+                                             rtol=0.0, atol=1e-9, equal_nan=True).all())
+                except (ValueError, TypeError):
+                    col_ok = False
             else:
                 col_ok = sv.astype(str).values.tolist() == ov.astype(str).values.tolist()
             if not col_ok:

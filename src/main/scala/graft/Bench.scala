@@ -177,9 +177,13 @@ object Bench {
     // figure, with peak throughput at 32.
     val lowCpus = math.max(1, cpus / 16)
     val midCpus = math.max(1, cpus / 4)
+    // .distinct: duplicate levels (e.g. cpus=4 -> 1,1,4) would double-append
+    // to one level's arrays, misaligning the per-round ratio zip and turning
+    // the headline pair into level-vs-itself "perfect scaling"
     val levels = sys.env.get("SPARK_GRAFT_LEVELS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(lowCpus, midCpus, cpus))
+      .distinct
     var bloomBytes: Array[Byte] = null
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "8").toInt
     val extraRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_ITERS", "4").toInt

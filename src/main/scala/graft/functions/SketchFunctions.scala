@@ -5,9 +5,23 @@ import org.apache.spark.sql.functions.udf
 
 import graft.core._
 
-/** Scalar query surface over finished (serialized) sketches — the Spark
-  * analogue of the reference's read path `lookup` (reference
-  * `Internal.hs:464-469`) plus estimate readers for the rest of the family.
+/** Scalar UDF surface over finished (serialized) Bloom sketches — the
+  * Spark-UDF twin of the reference's read path `lookup` (reference
+  * `Internal.hs:464-469`).
+  *
+  * SCOPE (round 3): the PRIMARY read path for every sketch is the native
+  * codegen expression family in [[graft.plans.SketchReaders]] /
+  * [[graft.plans.BloomMightContain]] / [[graft.plans.BloomSetOp]] — the
+  * estimate/quantile/intersect UDFs that used to live here were deleted
+  * when their native twins landed (one implementation, not two). What
+  * remains here is the Bloom UDF surface that has no native equivalent or
+  * serves a different deployment shape:
+  *  - `bloomMightContain{Int,Long,String}`: UDF probes for API parity
+  *    (type-tag-enforcing, memoized) — useful where expression registration
+  *    is unavailable;
+  *  - `bloomCountContainedTokens`: whole-array probe (no explode);
+  *  - `bloomProbe*{,ByKey}`: closure-broadcast probes that pay
+  *    deserialization once per TASK (the high-volume pattern).
   *
   * Deserialized sketches are memoized per executor: when a sketch column is
   * joined onto a probe stream (one sketch per group key, broadcast join),
@@ -147,120 +161,4 @@ object SketchFunctions extends Serializable {
     c => f(c)
   }
 
-  /** `bloom_intersect(a, b)` — word-wise AND of two serialized filters
-    * (reference `intersectionInto`, `Internal.hs:494-505`). Lossy (result
-    * FPR >= direct-build FPR) but never loses a common element. Different
-    * sizes fold down to the smaller, same as union. */
-  def bloomIntersect(k0: Long, k1: Long): (Column, Column) => Column = {
-    val f = udf { (a: Array[Byte], b: Array[Byte]) =>
-      if (a == null || b == null) null
-      else {
-      val (cfgA, wa, tagA) = BlockedBloom.fromBytes(k0, k1, a)
-      val (cfgB, wb, tagB) = BlockedBloom.fromBytes(k0, k1, b)
-      require(cfgA.k == cfgB.k && tagA == tagB && cfgA.hash64Enough == cfgB.hash64Enough,
-        "bloom_intersect: incompatible filters")
-      val target = math.min(cfgA.log2l, cfgB.log2l)
-      val fa = if (cfgA.log2l == target) wa else BlockedBloom.fold(wa, target)
-      val fb = if (cfgB.log2l == target) wb else BlockedBloom.fold(wb, target)
-      val cfg = if (cfgA.log2l == target) cfgA else cfgB
-      BlockedBloom.toBytes(BlockedBloom.intersectInPlace(fa, fb), cfg, tagA)
-      }
-    }
-    (a, b) => f(a, b)
-  }
-
-  /** `hll_estimate(sketch)` -> double. */
-  val hllEstimate: Column => Column = {
-    val f = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val regs = Memo.get(2L, bytes, (b: Array[Byte]) => Hll.fromBytes(b)._2)
-        java.lang.Double.valueOf(Hll.estimate(regs))
-      }
-    }
-    c => f(c)
-  }
-
-  private final class LoadedCms(val cfg: CmsConfig, val buf: Array[Long])
-
-  private def loadCms(k0: Long, k1: Long)(bytes: Array[Byte]): LoadedCms = {
-    val (depth, log2Width, buf, _, storedKeyHash) = CountMin.fromBytesFull(bytes)
-    require(storedKeyHash == SipHash.hashLong(k0, k1, k0 ^ k1),
-      "CMS sketch was built with a different SipHash key")
-    new LoadedCms(CmsConfig(k0, k1, depth, log2Width), buf)
-  }
-
-  /** `cms_estimate(sketch, token)` -> long (point frequency, one-sided). */
-  def cmsEstimateInt(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
-    val tag = tagOf(3L, k0, k1)
-    val f = udf { (bytes: Array[Byte], x: Int) =>
-      if (bytes == null) null
-      else {
-        val c = Memo.get(tag, bytes, loadCms(k0, k1))
-        java.lang.Long.valueOf(CountMin.estimateInt(c.buf, c.cfg, x))
-      }
-    }
-    f(sketch, elem)
-  }
-
-  def cmsEstimateString(k0: Long, k1: Long)(sketch: Column, elem: Column): Column = {
-    val tag = tagOf(3L, k0, k1)
-    val f = udf { (bytes: Array[Byte], s: String) =>
-      if (bytes == null || s == null) null
-      else {
-        val c = Memo.get(tag, bytes, loadCms(k0, k1))
-        java.lang.Long.valueOf(CountMin.estimateString(c.buf, c.cfg, s))
-      }
-    }
-    f(sketch, elem)
-  }
-
-  /** Total inserted weight N recorded in a CMS sketch. */
-  def cmsTotalCount(k0: Long, k1: Long)(sketch: Column): Column = {
-    val tag = tagOf(3L, k0, k1)
-    val f = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val c = Memo.get(tag, bytes, loadCms(k0, k1))
-        java.lang.Long.valueOf(CountMin.totalCount(c.buf, c.cfg))
-      }
-    }
-    f(sketch)
-  }
-
-  /** `kll_quantile(sketch, q)` -> double. */
-  val kllQuantile: (Column, Column) => Column = {
-    val f = udf { (bytes: Array[Byte], q: Double) =>
-      if (bytes == null) null
-      else java.lang.Double.valueOf(Memo.get(4L, bytes, Kll.fromBytes).quantile(q))
-    }
-    (s, q) => f(s, q)
-  }
-
-  /** `kll_rank(sketch, x)` -> estimated count <= x. */
-  val kllRank: (Column, Column) => Column = {
-    val f = udf { (bytes: Array[Byte], x: Double) =>
-      if (bytes == null) null
-      else java.lang.Long.valueOf(Memo.get(4L, bytes, Kll.fromBytes).rank(x))
-    }
-    (s, x) => f(s, x)
-  }
-
-  /** `tdigest_quantile(sketch, q)` -> double. */
-  val tdigestQuantile: (Column, Column) => Column = {
-    val f = udf { (bytes: Array[Byte], q: Double) =>
-      if (bytes == null) null
-      else java.lang.Double.valueOf(Memo.get(5L, bytes, TDigest.fromBytes).quantile(q))
-    }
-    (s, q) => f(s, q)
-  }
-
-  /** `tdigest_cdf(sketch, x)` -> estimated fraction of mass <= x. */
-  val tdigestCdf: (Column, Column) => Column = {
-    val f = udf { (bytes: Array[Byte], x: Double) =>
-      if (bytes == null) null
-      else java.lang.Double.valueOf(Memo.get(5L, bytes, TDigest.fromBytes).cdf(x))
-    }
-    (s, x) => f(s, x)
-  }
 }

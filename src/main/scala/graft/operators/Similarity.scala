@@ -42,9 +42,12 @@ object Similarity {
     * primitive arrays already beat the higher-order-function formulation
     * ~40x (HOF lambdas evaluate interpretively per element); the native
     * expression additionally removes the UDF encoder copy from every LSH
-    * verify join. Callers must have registered the graft expressions once
-    * per session ([[graft.plans.GraftFunctions.registerExpressions]]) —
-    * every entry point in this object does so itself. */
+    * verify join. NOTE: this is a Column builder with no session in scope,
+    * so it CANNOT self-register — the session must have the graft
+    * expressions registered ([[graft.plans.GraftFunctions.registerExpressions]],
+    * idempotent). Every DataFrame-taking entry point in this object
+    * registers on its input's session; direct cosineCols/cosineTo callers
+    * must register themselves. */
   def cosineCols(a: Column, b: Column): Column =
     graft.plans.VectorFunctions.cosineSim(a, b)
 

@@ -109,43 +109,18 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
     case None => null
   }
 
-  // Non-foldable path: bounded content-verified LRU. A probe stream
-  // joined onto per-group sketches interleaves the groups' byte arrays
-  // row-to-row, so a single-entry cache would re-deserialize on every
-  // group switch; a small map keyed by a sampled hash (hit trusted only
-  // after full Arrays.equals — never returns the wrong filter) makes the
-  // per-row cost one word read again. Bounded: typical probe plans carry
-  // tens of group sketches; an adversarial stream of unique sketches just
-  // degrades to load-per-row, same as no cache. Thread-safety: Spark
-  // deserializes one expression instance per task, so the cache is
-  // single-threaded by construction; it must not be shared across threads.
+  // Non-foldable path: bounded content-verified LRU (shared ReaderCache
+  // implementation — see its scaladoc for the sampled-key + Arrays.equals
+  // design and the per-task-instance thread-safety assumption). A probe
+  // stream joined onto per-group sketches interleaves the groups' byte
+  // arrays row-to-row, so a single-entry cache would re-deserialize on
+  // every group switch; an adversarial stream of unique sketches just
+  // degrades to load-per-row, same as no cache.
   @transient private lazy val cache =
-    new java.util.LinkedHashMap[Long, (Array[Byte], LoadedBloomFilter)](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, (Array[Byte], LoadedBloomFilter)]): Boolean = size() > 64
-    }
+    new ReaderCache[LoadedBloomFilter](b => LoadedBloomFilter.loadTyped(k0, k1, b, expectedTag))
 
-  private def sampleKey(bytes: Array[Byte]): Long = {
-    val n = bytes.length
-    var h = 0xcbf29ce484222325L ^ n.toLong
-    var i = 0
-    while (i < n) { h = (h ^ bytes(i)) * 0x100000001b3L; i += math.max(1, n / 64) }
-    h
-  }
-
-  private def filterFor(bytes: Array[Byte]): LoadedBloomFilter = {
-    if (foldedFilter != null) foldedFilter
-    else {
-      val key = sampleKey(bytes)
-      val hit = cache.get(key)
-      if (hit != null && java.util.Arrays.equals(hit._1, bytes)) hit._2
-      else {
-        val loaded = LoadedBloomFilter.loadTyped(k0, k1, bytes, expectedTag)
-        cache.put(key, (bytes.clone(), loaded))
-        loaded
-      }
-    }
-  }
+  private def filterFor(bytes: Array[Byte]): LoadedBloomFilter =
+    if (foldedFilter != null) foldedFilter else cache.get(bytes)
 
   def probeInt(bytes: Array[Byte], x: Int): Boolean = filterFor(bytes).containsInt(x)
   def probeLong(bytes: Array[Byte], x: Long): Boolean = filterFor(bytes).containsLong(x)
@@ -428,6 +403,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SketchReaders.TDigestQuantileName),
       new ExpressionInfo(classOf[QuantileReadExpr].getName, SketchReaders.TDigestQuantileName),
       exprs => SketchReaders.quantileBuilder(isKll = false)(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(SketchReaders.KllRankName),
+      new ExpressionInfo(classOf[RankReadExpr].getName, SketchReaders.KllRankName),
+      exprs => SketchReaders.rankBuilder(isKll = true)(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(SketchReaders.TDigestCdfName),
+      new ExpressionInfo(classOf[RankReadExpr].getName, SketchReaders.TDigestCdfName),
+      exprs => SketchReaders.rankBuilder(isKll = false)(exprs)))
     e.injectFunction((
       FunctionIdentifier(VectorFunctions.CosineSimName),
       new ExpressionInfo(classOf[CosineSimExpr].getName, VectorFunctions.CosineSimName),

@@ -165,6 +165,42 @@ case class CmsTotalExpr(child: Expression, k0: Long, k1: Long) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** `graft_kll_rank(sketch, x)` -> bigint (estimated count <= x) /
+  * `graft_tdigest_cdf(sketch, x)` -> double (estimated mass fraction <= x).
+  * Same cached-deserialize shape as the quantile readers. */
+case class RankReadExpr(left: Expression, right: Expression, isKll: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = if (isKll) LongType else DoubleType
+  override def prettyName: String = if (isKll) "graft_kll_rank" else "graft_tdigest_cdf"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sketch argument must be BINARY, got ${left.dataType}")
+    else if (right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"value argument must be DOUBLE, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val kllCache = new ReaderCache[graft.core.KllSketch](Kll.fromBytes)
+  @transient private lazy val tdCache = new ReaderCache[graft.core.TDigest](TDigest.fromBytes)
+
+  def rank(bytes: Array[Byte], x: Double): Long = kllCache.get(bytes).rank(x)
+  def cdf(bytes: Array[Byte], x: Double): Double = tdCache.get(bytes).cdf(x)
+
+  override def nullSafeEval(sketchVal: Any, xVal: Any): Any =
+    if (isKll) rank(sketchVal.asInstanceOf[Array[Byte]], xVal.asInstanceOf[Double])
+    else cdf(sketchVal.asInstanceOf[Array[Byte]], xVal.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("rankRead", this, classOf[RankReadExpr].getName)
+    val m = if (isKll) "rank" else "cdf"
+    defineCodeGen(ctx, ev, (s, x) => s"$selfRef.$m($s, $x)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_kll_quantile(sketch, q)` / `graft_tdigest_quantile(sketch, q)`
   * -> double. The deserialized sketch is cached; the per-row quantile walk
   * is O(levels)/O(centroids). */
@@ -207,6 +243,8 @@ object SketchReaders {
   val CmsTotalName = "graft_cms_total"
   val KllQuantileName = "graft_kll_quantile"
   val TDigestQuantileName = "graft_tdigest_quantile"
+  val KllRankName = "graft_kll_rank"
+  val TDigestCdfName = "graft_tdigest_cdf"
 
   private def keyLit(e: Expression): Option[Long] = e match {
     case Literal(v: Long, LongType) => Some(v)
@@ -235,14 +273,23 @@ object SketchReaders {
       s"$CmsTotalName expects (sketch BINARY, [k0 BIGINT, k1 BIGINT])")
   }
 
+  /** SQL fractional literals parse as DECIMAL; fold numerics into the
+    * DOUBLE the expressions require (numeric-only cast, never strings). */
+  private def asDouble(e: Expression): Expression = e.dataType match {
+    case _: DecimalType | FloatType | IntegerType | LongType => Cast(e, DoubleType)
+    case _ => e
+  }
+
   private[plans] def quantileBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
-    // SQL fractional literals parse as DECIMAL; fold them into the DOUBLE
-    // the expression requires (numeric-only cast, never strings)
-    case Seq(s, q) if q.dataType.isInstanceOf[DecimalType] || q.dataType == FloatType =>
-      QuantileReadExpr(s, Cast(q, DoubleType), isKll)
-    case Seq(s, q) => QuantileReadExpr(s, q, isKll)
+    case Seq(s, q) => QuantileReadExpr(s, asDouble(q), isKll)
     case _ => throw new IllegalArgumentException(
       s"${if (isKll) KllQuantileName else TDigestQuantileName} expects (sketch BINARY, q DOUBLE)")
+  }
+
+  private[plans] def rankBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s, x) => RankReadExpr(s, asDouble(x), isKll)
+    case _ => throw new IllegalArgumentException(
+      s"${if (isKll) KllRankName else TDigestCdfName} expects (sketch BINARY, x DOUBLE)")
   }
 
   def registerExpressions(spark: SparkSession): Unit = {
@@ -252,6 +299,8 @@ object SketchReaders {
     reg.createOrReplaceTempFunction(CmsTotalName, cmsTotalBuilder, "built-in")
     reg.createOrReplaceTempFunction(KllQuantileName, quantileBuilder(isKll = true), "built-in")
     reg.createOrReplaceTempFunction(TDigestQuantileName, quantileBuilder(isKll = false), "built-in")
+    reg.createOrReplaceTempFunction(KllRankName, rankBuilder(isKll = true), "built-in")
+    reg.createOrReplaceTempFunction(TDigestCdfName, rankBuilder(isKll = false), "built-in")
   }
 
   // Column helpers (require GraftFunctions.registerExpressions once per session)
@@ -263,4 +312,6 @@ object SketchReaders {
   def cmsTotal(sketch: Column): Column = call_function(CmsTotalName, sketch)
   def kllQuantile(sketch: Column, q: Column): Column = call_function(KllQuantileName, sketch, q)
   def tdigestQuantile(sketch: Column, q: Column): Column = call_function(TDigestQuantileName, sketch, q)
+  def kllRank(sketch: Column, x: Column): Column = call_function(KllRankName, sketch, x)
+  def tdigestCdf(sketch: Column, x: Column): Column = call_function(TDigestCdfName, sketch, x)
 }

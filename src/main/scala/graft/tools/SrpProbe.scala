@@ -14,6 +14,8 @@ object SrpProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cosineCols resolves graft_cosine_sim by name — register once up front
+    graft.plans.GraftFunctions.registerExpressions(spark)
     def time[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()
       val a = body

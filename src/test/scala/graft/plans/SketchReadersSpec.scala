@@ -98,6 +98,28 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(med.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("graft_kll_rank / graft_tdigest_cdf agree with the core sketch objects") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    (1 to 10000).map(_.toDouble).toDF("x").createOrReplaceTempView("rank_in")
+    val sk = spark.sql(
+      "SELECT graft_kll(x) AS kll, graft_tdigest(x) AS td FROM rank_in").head()
+    val kllBytes = sk.getAs[Array[Byte]](0)
+    val tdBytes = sk.getAs[Array[Byte]](1)
+    Seq((kllBytes, tdBytes)).toDF("kll", "td").createOrReplaceTempView("rank_sk")
+    for (x <- Seq(100.0, 5000.0, 9999.0)) {
+      val r = spark.sql(
+        s"SELECT graft_kll_rank(kll, $x), graft_tdigest_cdf(td, $x) FROM rank_sk").head()
+      assert(r.getLong(0) === graft.core.Kll.fromBytes(kllBytes).rank(x),
+        s"kll rank($x) diverged from core")
+      assert(r.getDouble(1) === graft.core.TDigest.fromBytes(tdBytes).cdf(x),
+        s"tdigest cdf($x) diverged from core")
+      // sanity: both track the true rank fraction
+      assert(math.abs(r.getLong(0) / 10000.0 - x / 10000.0) < 0.03)
+      assert(math.abs(r.getDouble(1) - x / 10000.0) < 0.03)
+    }
+  }
+
   test("graft_bloom_union preserves both sides' members; intersect error uses merge wording") {
     import spark.implicits._
     GraftFunctions.register(spark)
