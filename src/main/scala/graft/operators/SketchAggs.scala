@@ -373,4 +373,28 @@ object SketchAggs {
     override def bufferEncoder: Encoder[FrequentItems.Summary] = Encoders.kryo[FrequentItems.Summary]
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
+
+  /** Merges already-serialized Misra-Gries summaries (second-level
+    * aggregation: per-(source,salt) partials -> per-source, or per-source
+    * -> global; the checkpoint-merge shape). Capacities must match; the
+    * merged guarantees degrade exactly as the in-memory merge's (D sums,
+    * plus one prune). `null` marks the empty buffer (the BloomMergeAgg
+    * decoded-buffer pattern: parse each input once, serialize in finish). */
+  final class HeavyHittersMergeAgg
+      extends Aggregator[Array[Byte], FrequentItems.Summary, Array[Byte]] {
+    override def zero: FrequentItems.Summary = null
+    override def reduce(buf: FrequentItems.Summary, bytes: Array[Byte]): FrequentItems.Summary = {
+      if (bytes == null) buf
+      else {
+        val s = FrequentItems.fromBytes(bytes)
+        if (buf == null) s else buf.mergeInPlace(s)
+      }
+    }
+    override def merge(b1: FrequentItems.Summary, b2: FrequentItems.Summary): FrequentItems.Summary =
+      if (b1 == null) b2 else if (b2 == null) b1 else b1.mergeInPlace(b2)
+    override def finish(buf: FrequentItems.Summary): Array[Byte] =
+      if (buf == null) null else FrequentItems.toBytes(buf)
+    override def bufferEncoder: Encoder[FrequentItems.Summary] = Encoders.kryo[FrequentItems.Summary]
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
 }

@@ -335,6 +335,8 @@ object GraftFunctions {
       udaf(new BloomTokensNewCountAgg(bloomCfg), tokensEnc))
     spark.udf.register("graft_heavyhitter",
       udaf(new HeavyHittersLongAgg(64), ExpressionEncoder[Long]()))
+    spark.udf.register("graft_heavyhitter_merge",
+      udaf(new HeavyHittersMergeAgg, ExpressionEncoder[Array[Byte]]()))
     // readers over the serialized Misra-Gries summary: top-k entries (ties
     // by key — deterministic), the one-sided error bound D, and total N.
     // Per-group rows only, so a UDF boundary is immaterial here.

@@ -245,6 +245,32 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) === s.decremented && r.getLong(2) === 20000L)
   }
 
+  test("HeavyHittersMergeAgg: merging serialized per-group summaries keeps every guarantee") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // per-source summaries then a serialized second-level merge to global
+    val xs = (0 until 30000).map { i =>
+      (s"src${i % 4}", if (i % 5 < 2) (i % 8).toLong else 1000L + (i * 2654435761L % 4000))
+    }
+    xs.toDF("source", "key").createOrReplaceTempView("hhm_in")
+    val globalBytes = spark.sql(
+      """SELECT graft_heavyhitter_merge(sk) FROM
+        |(SELECT graft_heavyhitter(key) AS sk FROM hhm_in GROUP BY source)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    val s = graft.core.FrequentItems.fromBytes(globalBytes)
+    val exact = xs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    assert(s.total === 30000L)
+    assert(s.size <= 64)
+    assert(s.decremented * s.capacity <= s.total)
+    s.entries.foreach { case (k, est) =>
+      val t = exact.getOrElse(k, 0L)
+      assert(est <= t && t <= est + s.decremented, s"merged sandwich broken at $k")
+    }
+    exact.foreach { case (k, t) =>
+      if (t > s.decremented) assert(s.contains(k), s"heavy $k lost in serialized merge")
+    }
+  }
+
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
     val dir = "/root/testdata/sf0.001"
     val a = Tokens.table(spark, dir).orderBy("doc_id").collect()
