@@ -8,7 +8,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * `depth` rows × `width` (power of two) counters. Row hash functions are
   * derived from ONE 128-bit SipHash evaluation per element via the
   * Kirsch–Mitzenmacher construction `g_j(x) = h1(x) + j·h2(x)`, so inserts
-  * cost a single hash regardless of depth.
+  * cost a single hash regardless of depth. (Unlike MinHash signature
+  * components — see `MinHash.gi`'s envelope-of-lines note — raw KM is
+  * sound here: the one-sided `estimate >= true` guarantee is unconditional,
+  * and the εN tail needs only per-row bucket uniformity; the query surface
+  * additionally asserts its bounds with a doubled ε.)
   *
   * Monoid: `add` = increment one counter per row; `merge` = elementwise sum
   * (associative, commutative). Guarantees (width w, depth d, total count N):

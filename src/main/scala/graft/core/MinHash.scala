@@ -11,11 +11,33 @@ package graft.core
   */
 object MinHash {
 
-  /** The h per-permutation hash values for one shingle, via the
-    * Kirsch–Mitzenmacher construction g_i(x) = lo + (i+1)*hi over one
-    * 128-bit SipHash of the shingle — one hash evaluation per shingle
-    * regardless of h. */
-  @inline private def gi(lo: Long, hi: Long, i: Int): Long = lo + (i + 1).toLong * hi
+  /** SplitMix64 finalizer (Steele/Lea/Flood 2014; public domain constants):
+    * full-avalanche 64-bit bijection. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    z
+  }
+
+  /** The h per-permutation hash values for one shingle: the
+    * Kirsch–Mitzenmacher seed g_i(x) = lo + (i+1)*hi over one 128-bit
+    * SipHash of the shingle — one hash evaluation per shingle regardless of
+    * h — passed through a full-avalanche finalizer.
+    *
+    * The finalizer is LOAD-BEARING: without it, for any two shingles x, y
+    * the sign of g_i(x) - g_i(y) = (lo_x - lo_y) + (i+1)(hi_x - hi_y) is
+    * linear in i and flips AT MOST ONCE across all h components, so the
+    * signature is the lower envelope of |set| lines — a handful of
+    * effectively independent components instead of h. Measured on the
+    * 1M-doc LSH stress corpus (J=0.806 pairs, 32 bands x 4 rows): 11
+    * misses in 100k planted pairs vs the ~2e-8/pair independent-hash
+    * prediction — 4,700x too many. The bijective mix destroys the linear
+    * order across i, restoring per-component independence (misses drop to
+    * the predicted ~0). */
+  @inline private def gi(lo: Long, hi: Long, i: Int): Long =
+    mix64(lo + (i + 1).toLong * hi)
 
   /** Update a signature with one shingle hash pair (elementwise min). */
   def addShingle(sig: Array[Long], lo: Long, hi: Long): Unit = {
