@@ -272,7 +272,7 @@ object GraftFunctions {
   }
 
   /** SQL integer literals default to INT; accept both widths for keys. */
-  private def keyLit(e: Expression): Option[Long] = e match {
+  private[plans] def keyLit(e: Expression): Option[Long] = e match {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case _ => None
@@ -297,21 +297,32 @@ object GraftFunctions {
     }
   }
 
-  /** Register just the two native expressions (cheap, idempotent) — enough
-    * for the Column-API entry points below; `register` layers the SQL UDAF
-    * surface on top. */
-  def registerExpressions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      BloomMightContainName, builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SipHash64Name, sipBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      BloomIntersectName, setOpBuilder(intersection = true), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      BloomUnionName, setOpBuilder(intersection = false), "built-in")
-    SketchReaders.registerExpressions(spark)
-    VectorFunctions.registerExpressions(spark)
-  }
+  /** SINGLE SOURCE OF TRUTH for the native-expression SQL surface:
+    * (function name, implementing class, builder). Both registration paths
+    * — `registerExpressions` on a live session and the
+    * `spark.sql.extensions` injector (`GraftExtensions`) — iterate this
+    * list, so a new expression cannot be added to one and forgotten in the
+    * other. */
+  private[plans] val nativeExpressions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    (BloomMightContainName, classOf[BloomMightContain], builder _),
+    (SipHash64Name, classOf[SipHash64Expr], sipBuilder _),
+    (BloomIntersectName, classOf[BloomSetOp], setOpBuilder(intersection = true) _),
+    (BloomUnionName, classOf[BloomSetOp], setOpBuilder(intersection = false) _),
+    (SketchReaders.HllEstimateName, classOf[HllEstimateExpr], SketchReaders.hllBuilder _),
+    (SketchReaders.CmsEstimateName, classOf[CmsEstimateExpr], SketchReaders.cmsEstimateBuilder _),
+    (SketchReaders.CmsTotalName, classOf[CmsTotalExpr], SketchReaders.cmsTotalBuilder _),
+    (SketchReaders.KllQuantileName, classOf[QuantileReadExpr], SketchReaders.quantileBuilder(isKll = true) _),
+    (SketchReaders.TDigestQuantileName, classOf[QuantileReadExpr], SketchReaders.quantileBuilder(isKll = false) _),
+    (SketchReaders.KllRankName, classOf[RankReadExpr], SketchReaders.rankBuilder(isKll = true) _),
+    (SketchReaders.TDigestCdfName, classOf[RankReadExpr], SketchReaders.rankBuilder(isKll = false) _),
+    (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _))
+
+  /** Register every native expression (cheap, idempotent) — enough for the
+    * Column-API entry points; `register` layers the SQL UDAF surface on top. */
+  def registerExpressions(spark: SparkSession): Unit =
+    nativeExpressions.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
 
   /** Register expressions AND the sketch UDAFs on an existing session, so
     * the whole library is reachable from pure SQL:
@@ -366,56 +377,15 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(k0), org.apache.spark.sql.functions.lit(k1))
 }
 
-/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injection. */
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injection —
+  * iterates the SAME `GraftFunctions.nativeExpressions` table the session
+  * registrar uses, so the two registration paths cannot drift. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier(GraftFunctions.BloomMightContainName),
-      new ExpressionInfo(classOf[BloomMightContain].getName, GraftFunctions.BloomMightContainName),
-      exprs => GraftFunctions.builder(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(GraftFunctions.SipHash64Name),
-      new ExpressionInfo(classOf[SipHash64Expr].getName, GraftFunctions.SipHash64Name),
-      exprs => GraftFunctions.sipBuilder(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(GraftFunctions.BloomIntersectName),
-      new ExpressionInfo(classOf[BloomSetOp].getName, GraftFunctions.BloomIntersectName),
-      exprs => GraftFunctions.setOpBuilder(intersection = true)(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(GraftFunctions.BloomUnionName),
-      new ExpressionInfo(classOf[BloomSetOp].getName, GraftFunctions.BloomUnionName),
-      exprs => GraftFunctions.setOpBuilder(intersection = false)(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(SketchReaders.HllEstimateName),
-      new ExpressionInfo(classOf[HllEstimateExpr].getName, SketchReaders.HllEstimateName),
-      exprs => SketchReaders.hllBuilder(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(SketchReaders.CmsEstimateName),
-      new ExpressionInfo(classOf[CmsEstimateExpr].getName, SketchReaders.CmsEstimateName),
-      exprs => SketchReaders.cmsEstimateBuilder(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(SketchReaders.CmsTotalName),
-      new ExpressionInfo(classOf[CmsTotalExpr].getName, SketchReaders.CmsTotalName),
-      exprs => SketchReaders.cmsTotalBuilder(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(SketchReaders.KllQuantileName),
-      new ExpressionInfo(classOf[QuantileReadExpr].getName, SketchReaders.KllQuantileName),
-      exprs => SketchReaders.quantileBuilder(isKll = true)(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(SketchReaders.TDigestQuantileName),
-      new ExpressionInfo(classOf[QuantileReadExpr].getName, SketchReaders.TDigestQuantileName),
-      exprs => SketchReaders.quantileBuilder(isKll = false)(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(SketchReaders.KllRankName),
-      new ExpressionInfo(classOf[RankReadExpr].getName, SketchReaders.KllRankName),
-      exprs => SketchReaders.rankBuilder(isKll = true)(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(SketchReaders.TDigestCdfName),
-      new ExpressionInfo(classOf[RankReadExpr].getName, SketchReaders.TDigestCdfName),
-      exprs => SketchReaders.rankBuilder(isKll = false)(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(VectorFunctions.CosineSimName),
-      new ExpressionInfo(classOf[CosineSimExpr].getName, VectorFunctions.CosineSimName),
-      exprs => VectorFunctions.cosineBuilder(exprs)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.nativeExpressions.foreach { case (name, cls, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        exprs => b(exprs)))
+    }
 }

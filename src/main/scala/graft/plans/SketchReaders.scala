@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -246,11 +245,8 @@ object SketchReaders {
   val KllRankName = "graft_kll_rank"
   val TDigestCdfName = "graft_tdigest_cdf"
 
-  private def keyLit(e: Expression): Option[Long] = e match {
-    case Literal(v: Long, LongType) => Some(v)
-    case Literal(v: Int, IntegerType) => Some(v.toLong)
-    case _ => None
-  }
+  // optional-key literal parsing shared with the other builders
+  private def keyLit(e: Expression): Option[Long] = GraftFunctions.keyLit(e)
 
   private[plans] def hllBuilder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s) => HllEstimateExpr(s)
@@ -290,17 +286,6 @@ object SketchReaders {
     case Seq(s, x) => RankReadExpr(s, asDouble(x), isKll)
     case _ => throw new IllegalArgumentException(
       s"${if (isKll) KllRankName else TDigestCdfName} expects (sketch BINARY, x DOUBLE)")
-  }
-
-  def registerExpressions(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(HllEstimateName, hllBuilder, "built-in")
-    reg.createOrReplaceTempFunction(CmsEstimateName, cmsEstimateBuilder, "built-in")
-    reg.createOrReplaceTempFunction(CmsTotalName, cmsTotalBuilder, "built-in")
-    reg.createOrReplaceTempFunction(KllQuantileName, quantileBuilder(isKll = true), "built-in")
-    reg.createOrReplaceTempFunction(TDigestQuantileName, quantileBuilder(isKll = false), "built-in")
-    reg.createOrReplaceTempFunction(KllRankName, rankBuilder(isKll = true), "built-in")
-    reg.createOrReplaceTempFunction(TDigestCdfName, rankBuilder(isKll = false), "built-in")
   }
 
   // Column helpers (require GraftFunctions.registerExpressions once per session)

@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -79,10 +78,6 @@ object VectorFunctions {
     case Seq(a, b) => CosineSimExpr(a, b)
     case _ => throw new IllegalArgumentException(s"$CosineSimName expects (a ARRAY, b ARRAY)")
   }
-
-  def registerExpressions(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineSimName, cosineBuilder, "built-in")
 
   def cosineSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(CosineSimName, a, b)
