@@ -56,6 +56,65 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MinHash.merge(a.clone(), b).sameElements(union))
   }
 
+  test("minhash components behave independently (envelope-of-lines regression guard)") {
+    // 300 deterministic set pairs, each sharing 80 of 120 shingles
+    // (J = 2/3). With INDEPENDENT permutations, estimateJaccard over h=128
+    // components is mean J, std sqrt(J(1-J)/h) ≈ 0.0417. The raw
+    // Kirsch-Mitzenmacher g_i (pre-mix64) correlated the components —
+    // fraction-of-agreeing-components variance inflated several-fold and
+    // 32x4 banding missed J=0.8 pairs 4,700x more often than predicted
+    // (see MinHash.gi + BASELINE.md). This locks the fix in.
+    val h = 128
+    val m = 300
+    def shingle(tag: String, p: Int, i: Int): String = s"$tag-$p-$i"
+    val ests = (0 until m).map { p =>
+      val shared = (0 until 80).map(shingle("s", p, _))
+      val a = MinHash.signature(1, 2, (shared ++ (0 until 40).map(shingle("a", p, _))).iterator, h)
+      val b = MinHash.signature(1, 2, (shared ++ (0 until 40).map(shingle("b", p, _))).iterator, h)
+      MinHash.estimateJaccard(a, b)
+    }
+    val j = 80.0 / 160.0 // |A∩B|=80, |A∪B|=160
+    val mean = ests.sum / m
+    val std = math.sqrt(ests.map(e => (e - mean) * (e - mean)).sum / (m - 1))
+    val theoStd = math.sqrt(j * (1 - j) / h)
+    assert(math.abs(mean - j) < 4 * theoStd / math.sqrt(m.toDouble),
+      s"minhash estimator biased: mean $mean vs J=$j")
+    assert(std < 1.5 * theoStd,
+      s"minhash component dependence: sample std $std vs independent-theory $theoStd")
+  }
+
+  test("LSH banding recall: zero misses on the deterministic corpus where raw KM missed") {
+    // EXACTLY the Bench.lshStressCorpus construction, first 20k docs: 2000
+    // planted pairs at shingle-Jaccard ≈ 0.806. The pre-mix64 signatures
+    // deterministically missed pairs here (e.g. (8140, 8149) and
+    // (15900, 15909) in the 1M run — 4,700x the independent-hash miss
+    // rate); with the finalizer the banding must find every pair, as the
+    // 1-(1-J^4)^32 ≈ 1-2e-8 theory says.
+    import graft.core.{Keys, MinHash, SipHash}
+    def text(i: Long): Array[String] = {
+      val base = if (i % 10 == 9) i - 9 else i
+      val words = Array.tabulate(30) { j =>
+        "w" + ((SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, base * 31 + j) & 0x7fffffffL) % 200000)
+      }
+      if (i % 10 == 9) words(7) = "x" + i
+      words
+    }
+    def bands(words: Array[String]): Array[Long] = {
+      val sig = MinHash.signature(
+        graft.operators.TextPipeline.K0, graft.operators.TextPipeline.K1,
+        MinHash.wordShingles(words, 3), 128)
+      MinHash.bandKeys(graft.operators.TextPipeline.K0, graft.operators.TextPipeline.K1,
+        sig, bands = 32, rowsPerBand = 4)
+    }
+    val missed = (9L until 20000L by 10L).filter { i =>
+      val h = bands(text(i - 9))
+      val d = bands(text(i))
+      !(h.indices.exists(b => h(b) == d(b))) // no shared (band, key) bucket
+    }
+    assert(missed.isEmpty,
+      s"banding missed ${missed.size} of 2000 planted pairs (component dependence?): ${missed.take(5)}")
+  }
+
   test("minhash-LSH near-dups: sound and complete vs exact all-pairs on planted corpus") {
     val docs = plantedDocs()
     val found = TextPipeline.minHashNearDups(docs, "doc_id", "text",
