@@ -155,6 +155,39 @@ object SketchQueries {
       .agg(count(lit(1)).as("n_present"))
   }
 
+  /** SALT-BASED SKEW MITIGATION under the driver gate (north rule:
+    * "partitioning / shuffle / skew handled explicitly"). A hot source is
+    * split across 8 salt shards — `groupBy(source, salt)` spreads its rows
+    * over 8 reducers instead of one — and the per-shard partial filters are
+    * merged back per source with [[SketchAggs.BloomMergeAgg]]. Bloom union
+    * is bitwise OR (commutative, associative, idempotent; reference
+    * `unionInto`, `Internal.hs:509-550`), so the salted two-level build
+    * must produce BYTE-IDENTICAL filters to the direct one-level build —
+    * checked per source — and probing every (source, token) occurrence
+    * against the salted filter stays exact by no-false-negatives. */
+  def saltedBuildEquiv(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val t = Tokens.table(spark, dir)
+    val direct = perSourceBloom(t).withColumnRenamed("sketch", "direct_sketch")
+    val salted = t
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(8)))
+      .groupBy(col("source"), col("salt"))
+      .agg(bloomTokensUdaf(col("tokens")).as("partial"))
+      .groupBy(col("source"))
+      .agg(bloomMergeUdaf(col("partial")).as("salted_sketch"))
+    val equiv = salted.join(direct, "source")
+      .select(col("source"),
+        (col("salted_sketch") === col("direct_sketch")).as("salted_equals_direct"),
+        col("salted_sketch"))
+    exploded(t)
+      .join(broadcast(equiv), "source")
+      .where(GraftFunctions.bloomMightContain(col("salted_sketch"), col("token")))
+      .groupBy(col("source"))
+      .agg(min(col("salted_equals_direct")).as("salted_equals_direct"),
+        count(lit(1)).as("n_present"))
+      .orderBy(col("source"))
+  }
+
   /** HLL distinct tokens per source, asserted within 4 sigma of exact
     * (sigma = 1.04/sqrt(m); linear-counting regime is far tighter). */
   def hllDistinctTokensBound(spark: SparkSession, dir: String): DataFrame = {

@@ -29,6 +29,8 @@ object SparkEntry {
     "q_bloom_join_lineitem" -> (SketchQueries.bloomJoinLineitem _),
     // unionInto as second-level aggregation (§2.1 row 7)
     "q_bloom_union_global" -> (SketchQueries.bloomUnionGlobal _),
+    // salt-based skew mitigation: salted two-level build == direct build
+    "q_salted_build_equiv" -> (SketchQueries.saltedBuildEquiv _),
     // fpr() analytic bound vs measured (§2.1 row 12)
     "q_bloom_fpr_bound" -> (SketchQueries.bloomFprBound _),
     // sketch family (north rule): estimates within published bounds
@@ -94,6 +96,9 @@ object SparkEntry {
           "GROUP BY source ORDER BY source"),
       "q_bloom_union_global" ->
         s"SELECT count(DISTINCT w) AS n_present FROM ($words) t WHERE w <> ''",
+      "q_salted_build_equiv" ->
+        (s"SELECT source, true AS salted_equals_direct, count(*) AS n_present " +
+          s"FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source"),
       "q_bloom_join_lineitem" ->
         ("SELECT count(*) AS n_lines, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
           "FROM lineitem WHERE l_orderkey IN " +

@@ -177,6 +177,18 @@ class BlockedBloomSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](BlockedBloom.fromBytes(k0, k1, mangled))
   }
 
+  test("deserialize rejects a filter serialized under a different word size (Internal.hs:796-798)") {
+    // The reference refuses cross-word-size blobs outright ("Serialized bloom
+    // filters are not currently cross-architecture compatible"); a w=32 tag in
+    // the metadata tail must be rejected here too, not reinterpreted.
+    val (cfg, words) = build(3, 4, 1 to 50)
+    val bytes = BlockedBloom.toBytes(words, cfg, BlockedBloom.TypeTag.Int)
+    val w32 = bytes.clone()
+    w32(8 * cfg.l + 24 + 7) = 32 // wordSize field low byte: 64 -> 32 (BE)
+    val err = intercept[IllegalArgumentException](BlockedBloom.fromBytes(k0, k1, w32))
+    assert(err.getMessage.contains("word size"), s"wrong rejection path: ${err.getMessage}")
+  }
+
   test("golden serialized bytes are stable across runs") {
     // the analogue of the reference's tests/serialized/*.bytestring golden
     // files: fixed key + payload must serialize to identical bytes forever.
