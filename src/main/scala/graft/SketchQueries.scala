@@ -40,7 +40,11 @@ object SketchQueries {
   private def doubleEnc = ExpressionEncoder[Double]()
   private def binaryEnc = ExpressionEncoder[Array[Byte]]()
 
+  val kmvK = 256
+
   private def bloomTokensUdaf = udaf(new BloomTokensAgg(bloomCfg), tokensEnc)
+  private def kmvLongUdaf = udaf(new KmvLongAgg(K0, K1, kmvK), ExpressionEncoder[Long]())
+  private def kmvMergeUdaf = udaf(new KmvMergeAgg(K0, K1), binaryEnc)
   private def bloomMergeUdaf = udaf(new BloomMergeAgg(K0, K1), binaryEnc)
   private def hllTokensUdaf = udaf(new HllTokensAgg(K0, K1, hllP), tokensEnc)
   private def hllStringUdaf = udaf(new HllStringAgg(K0, K1, hllP), stringEnc)
@@ -186,6 +190,65 @@ object SketchQueries {
       .agg(min(col("salted_equals_direct")).as("salted_equals_direct"),
         count(lit(1)).as("n_present"))
       .orderBy(col("source"))
+  }
+
+  /** KMV distinct-INTERSECTION and Jaccard estimates — the set-cardinality
+    * queries HLL cannot answer (see [[graft.core.Kmv]]) — over per-status
+    * customer sets of the `orders` table, plus the KMV merge path (global
+    * union of the per-status sketches). All estimates are checked against
+    * Spark-computed exact values with margins from the published error
+    * model (Beyer et al. 2007): sigma_rel(D̂) = 1/sqrt(k-2),
+    * sigma(Ĵ) = sqrt(J(1-J)/k); booleans are deterministic for the fixed
+    * SipKey, so the DuckDB oracle is all-true over the same status pairs. */
+  def kmvIntersectBound(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
+    val se = Kmv.stdError(kmvK)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderstatus").as("status"), col("o_custkey").cast("long").as("custkey"))
+    val sk = orders.groupBy(col("status")).agg(kmvLongUdaf(col("custkey")).as("sk"))
+    // exact truth for the gate (status domain is tiny; distinct pairs only)
+    val d = orders.distinct()
+    val exactPer = d.groupBy(col("status")).agg(count(lit(1)).as("nd"))
+    val exactInter = d.as("a")
+      .join(d.as("b"),
+        col("a.custkey") === col("b.custkey") && col("a.status") < col("b.status"))
+      .groupBy(col("a.status").as("status_a"), col("b.status").as("status_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // merge path: per-status sketches -> one global union sketch (1 row)
+    val globalEst = sk.agg(kmvMergeUdaf(col("sk")).as("g"))
+      .select(SketchReaders.kmvEstimate(col("g")).as("g_est"))
+    val globalExact = d.select(col("custkey")).distinct()
+      .agg(count(lit(1)).as("g_exact"))
+    val pairs = sk.as("sa")
+      .join(sk.as("sb"), col("sa.status") < col("sb.status"))
+      .select(
+        col("sa.status").as("status_a"), col("sb.status").as("status_b"),
+        SketchReaders.kmvEstimate(col("sa.sk")).as("est_a"),
+        SketchReaders.kmvEstimate(col("sb.sk")).as("est_b"),
+        SketchReaders.kmvJaccard(col("sa.sk"), col("sb.sk")).as("est_j"),
+        SketchReaders.kmvIntersect(col("sa.sk"), col("sb.sk")).as("est_inter"))
+    val ndA = exactPer.select(col("status").as("status_a"), col("nd").as("nd_a"))
+    val ndB = exactPer.select(col("status").as("status_b"), col("nd").as("nd_b"))
+    val joined = pairs
+      .join(broadcast(ndA), "status_a").join(broadcast(ndB), "status_b")
+      .join(broadcast(exactInter), Seq("status_a", "status_b"))
+      .crossJoin(broadcast(globalEst)).crossJoin(broadcast(globalExact))
+    val unionExact = col("nd_a") + col("nd_b") - col("exact_inter")
+    val exactJ = col("exact_inter") / unionExact
+    val sigmaJ = sqrt(exactJ * (lit(1.0) - exactJ) / lit(kmvK.toDouble))
+    joined.select(
+      col("status_a"), col("status_b"),
+      (abs(col("est_a") - col("nd_a")) <= col("nd_a") * lit(4 * se) + lit(3.0) &&
+        abs(col("est_b") - col("nd_b")) <= col("nd_b") * lit(4 * se) + lit(3.0))
+        .as("distinct_within_bound"),
+      (abs(col("est_inter") - col("exact_inter")) <=
+        lit(6.0) * (unionExact * sigmaJ + exactJ * unionExact * lit(se)) + lit(5.0))
+        .as("inter_within_bound"),
+      (abs(col("est_j") - exactJ) <= lit(5.0) * sigmaJ + lit(0.01))
+        .as("jaccard_within_bound"),
+      (abs(col("g_est") - col("g_exact")) <= col("g_exact") * lit(4 * se) + lit(3.0))
+        .as("merged_union_within_bound"))
+      .orderBy(col("status_a"), col("status_b"))
   }
 
   /** HLL distinct tokens per source, asserted within 4 sigma of exact

@@ -41,6 +41,8 @@ object SparkEntry {
     "q_cms_topk" -> ((s: SparkSession, d: String) => SketchQueries.cmsTopK(s, d)),
     // Misra-Gries heavy hitters for vocab >> width (guarantee invariants)
     "q_heavyhitter_mg_bound" -> (SketchQueries.heavyHitterMgBound _),
+    // KMV bottom-k: distinct-intersection / Jaccard / merged-union bounds
+    "q_kmv_intersect_bound" -> (SketchQueries.kmvIntersectBound _),
     "q_bloom_intersect_exact" -> (SketchQueries.bloomIntersectExact _),
     "q_kll_ntok_quantile_bound" -> (SketchQueries.kllNtokQuantileBound _),
     "q_tdigest_ntok_quantile_bound" -> (SketchQueries.tdigestNtokQuantileBound _),
@@ -120,6 +122,13 @@ object SparkEntry {
           "WHERE source > (SELECT min(source) FROM documents)))"),
       "q_hll_distinct_tokens_bound" -> boundOracle,
       "q_heavyhitter_mg_bound" -> boundOracle,
+      "q_kmv_intersect_bound" ->
+        ("SELECT a.s AS status_a, b.s AS status_b, true AS distinct_within_bound, " +
+          "true AS inter_within_bound, true AS jaccard_within_bound, " +
+          "true AS merged_union_within_bound " +
+          "FROM (SELECT DISTINCT o_orderstatus AS s FROM orders) a " +
+          "JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders) b ON a.s < b.s " +
+          "ORDER BY 1, 2"),
       "q_hll_distinct_docs_bound" -> boundOracle,
       "q_cms_heavyhitter_bound" -> boundOracle,
       "q_kll_ntok_quantile_bound" -> boundOracle,

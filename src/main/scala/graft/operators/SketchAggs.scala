@@ -397,4 +397,96 @@ object SketchAggs {
     override def bufferEncoder: Encoder[FrequentItems.Summary] = Encoders.kryo[FrequentItems.Summary]
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
+
+  // --------------------------------------------------------------- KMV
+
+  /** KMV buffer: capacity-k hash array + valid prefix length. Plain arrays
+    * + Int so the ExpressionEncoder stays native (no Kryo object graphs in
+    * the shuffle — see the FrequentItems LongMap post-shuffle SIGSEGV note
+    * in BASELINE.md for why that matters). */
+  final case class KmvBuf(hashes: Array[Long], size: Int)
+
+  private def kmvKeyHash(k0: Long, k1: Long): Long = SipHash.hashLong(k0, k1, k0 ^ k1)
+
+  /** KMV distinct sketch over token arrays (distinct-token cardinality,
+    * intersection, Jaccard — the set-CARDINALITY analogue of the Bloom
+    * set ops; see [[graft.core.Kmv]]). */
+  final class KmvTokensAgg(k0: Long, k1: Long, k: Int)
+      extends Aggregator[Array[Int], KmvBuf, Array[Byte]] {
+    override def zero: KmvBuf = KmvBuf(Kmv.emptyHashes(k), 0)
+    override def reduce(buf: KmvBuf, tokens: Array[Int]): KmvBuf = {
+      if (tokens == null) buf
+      else {
+        var s = buf.size
+        var i = 0
+        while (i < tokens.length) {
+          s = Kmv.add(buf.hashes, s, SipHash.hashInt(k0, k1, tokens(i))); i += 1
+        }
+        if (s == buf.size) buf else KmvBuf(buf.hashes, s)
+      }
+    }
+    override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = {
+      val (h, s) = Kmv.merge(b1.hashes, b1.size, b2.hashes, b2.size)
+      KmvBuf(h, s)
+    }
+    override def finish(buf: KmvBuf): Array[Byte] =
+      Kmv.toBytes(buf.hashes, buf.size, BlockedBloom.TypeTag.Int, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder[KmvBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
+  /** KMV over a long column (e.g. distinct custkeys per group). */
+  final class KmvLongAgg(k0: Long, k1: Long, k: Int)
+      extends Aggregator[Long, KmvBuf, Array[Byte]] {
+    override def zero: KmvBuf = KmvBuf(Kmv.emptyHashes(k), 0)
+    override def reduce(buf: KmvBuf, x: Long): KmvBuf = {
+      val s = Kmv.add(buf.hashes, buf.size, SipHash.hashLong(k0, k1, x))
+      if (s == buf.size) buf else KmvBuf(buf.hashes, s)
+    }
+    override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = {
+      val (h, s) = Kmv.merge(b1.hashes, b1.size, b2.hashes, b2.size)
+      KmvBuf(h, s)
+    }
+    override def finish(buf: KmvBuf): Array[Byte] =
+      Kmv.toBytes(buf.hashes, buf.size, BlockedBloom.TypeTag.Long, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder[KmvBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
+  /** Merges already-serialized KMV sketches (second-level aggregation).
+    * Accepts mixed capacities by folding down to the smallest (see
+    * [[graft.core.Kmv.merge]]); key and element type must match. `null`
+    * hashes marks the empty buffer. */
+  final class KmvMergeAgg(k0: Long, k1: Long)
+      extends Aggregator[Array[Byte], KmvMergeBuf, Array[Byte]] {
+    override def zero: KmvMergeBuf = KmvMergeBuf(null, 0, 0L)
+
+    private def decode(x: Array[Byte]): KmvMergeBuf = {
+      val (h, s, tag, storedKeyHash) = Kmv.fromBytes(x)
+      require(storedKeyHash == kmvKeyHash(k0, k1),
+        "KMV merge: sketch was built with a different SipHash key")
+      KmvMergeBuf(h, s, tag)
+    }
+
+    private def mergeBufs(a: KmvMergeBuf, b: KmvMergeBuf): KmvMergeBuf = {
+      if (a.hashes == null) return b
+      if (b.hashes == null) return a
+      require(a.typeTag == b.typeTag,
+        s"KMV merge: element type mismatch ${a.typeTag} vs ${b.typeTag}")
+      val (h, s) = Kmv.merge(a.hashes, a.size, b.hashes, b.size)
+      KmvMergeBuf(h, s, a.typeTag)
+    }
+
+    override def reduce(buf: KmvMergeBuf, x: Array[Byte]): KmvMergeBuf =
+      if (x == null || x.isEmpty) buf else mergeBufs(buf, decode(x))
+    override def merge(b1: KmvMergeBuf, b2: KmvMergeBuf): KmvMergeBuf = mergeBufs(b1, b2)
+    override def finish(buf: KmvMergeBuf): Array[Byte] =
+      if (buf.hashes == null) Array.emptyByteArray
+      else Kmv.toBytes(buf.hashes, buf.size, buf.typeTag, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[KmvMergeBuf] = ExpressionEncoder[KmvMergeBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
+  /** Decoded KMV merge buffer (`hashes == null` = empty). */
+  final case class KmvMergeBuf(hashes: Array[Long], size: Int, typeTag: Long)
 }

@@ -315,6 +315,9 @@ object GraftFunctions {
     (SketchReaders.TDigestQuantileName, classOf[QuantileReadExpr], SketchReaders.quantileBuilder(isKll = false) _),
     (SketchReaders.KllRankName, classOf[RankReadExpr], SketchReaders.rankBuilder(isKll = true) _),
     (SketchReaders.TDigestCdfName, classOf[RankReadExpr], SketchReaders.rankBuilder(isKll = false) _),
+    (SketchReaders.KmvEstimateName, classOf[KmvEstimateExpr], SketchReaders.kmvEstimateBuilder _),
+    (SketchReaders.KmvJaccardName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(jaccard = true) _),
+    (SketchReaders.KmvIntersectName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(jaccard = false) _),
     (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _))
 
   /** Register every native expression (cheap, idempotent) — enough for the
@@ -348,6 +351,12 @@ object GraftFunctions {
       udaf(new HeavyHittersLongAgg(64), ExpressionEncoder[Long]()))
     spark.udf.register("graft_heavyhitter_merge",
       udaf(new HeavyHittersMergeAgg, ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_kmv_tokens",
+      udaf(new KmvTokensAgg(Keys.DefaultK0, Keys.DefaultK1, 256), tokensEnc))
+    spark.udf.register("graft_kmv_long",
+      udaf(new KmvLongAgg(Keys.DefaultK0, Keys.DefaultK1, 256), ExpressionEncoder[Long]()))
+    spark.udf.register("graft_kmv_merge",
+      udaf(new KmvMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
     // readers over the serialized Misra-Gries summary: top-k entries (ties
     // by key — deterministic), the one-sided error bound D, and total N.
     // Per-group rows only, so a UDF boundary is immaterial here.

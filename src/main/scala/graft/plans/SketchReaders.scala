@@ -235,6 +235,92 @@ case class QuantileReadExpr(left: Expression, right: Expression, isKll: Boolean)
 }
 
 /** Registration + Column helpers for the reader expressions. */
+/** Deserialized KMV sketch referenced from generated code. */
+private[plans] final class LoadedKmv(
+    val hashes: Array[Long], val size: Int, val typeTag: Long, val keyHash: Long)
+    extends Serializable
+
+private[plans] object LoadedKmv {
+  def load(bytes: Array[Byte]): LoadedKmv = {
+    val (h, s, tag, keyHash) = Kmv.fromBytes(bytes)
+    new LoadedKmv(h, s, tag, keyHash)
+  }
+}
+
+/** `graft_kmv_estimate(sketch)` -> double (distinct-count; exact below
+  * saturation, (k-1)/U(k) at it — see [[graft.core.Kmv]]). */
+case class KmvEstimateExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_kmv_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sketch argument must be BINARY, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cache = new ReaderCache[java.lang.Double](bytes => {
+    val kmv = LoadedKmv.load(bytes)
+    java.lang.Double.valueOf(Kmv.estimate(kmv.hashes, kmv.size))
+  })
+
+  def estimate(bytes: Array[Byte]): Double = cache.get(bytes).doubleValue()
+
+  override def nullSafeEval(v: Any): Any = estimate(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("kmvEst", this, classOf[KmvEstimateExpr].getName)
+    defineCodeGen(ctx, ev, b => s"$selfRef.estimate($b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_kmv_jaccard(a, b)` / `graft_kmv_intersect(a, b)` -> double.
+  * The pairwise set-cardinality readers (Beyer et al. §5): Jaccard and
+  * distinct-intersection estimates from two KMV sketches built under the
+  * same key over the same element type (both enforced — cross-key or
+  * cross-type pairs estimate nothing meaningful and are rejected like the
+  * Bloom set ops reject mismatched filters). */
+case class KmvPairExpr(left: Expression, right: Expression, jaccard: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = if (jaccard) "graft_kmv_jaccard" else "graft_kmv_intersect"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"both arguments must be BINARY KMV sketches, got ${left.dataType}, ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cacheL = new ReaderCache[LoadedKmv](LoadedKmv.load)
+  @transient private lazy val cacheR = new ReaderCache[LoadedKmv](LoadedKmv.load)
+
+  def compute(a: Array[Byte], b: Array[Byte]): Double = {
+    val ka = cacheL.get(a)
+    val kb = cacheR.get(b)
+    require(ka.typeTag == kb.typeTag,
+      s"$prettyName: sketches hold different element types (${ka.typeTag} vs ${kb.typeTag})")
+    require(ka.keyHash == kb.keyHash,
+      s"$prettyName: sketches were built under different SipHash keys")
+    val (j, inter) = Kmv.jaccardAndIntersection(ka.hashes, ka.size, kb.hashes, kb.size)
+    if (jaccard) j else inter
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("kmvPair", this, classOf[KmvPairExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$selfRef.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object SketchReaders {
 
   val HllEstimateName = "graft_hll_estimate"
@@ -244,6 +330,9 @@ object SketchReaders {
   val TDigestQuantileName = "graft_tdigest_quantile"
   val KllRankName = "graft_kll_rank"
   val TDigestCdfName = "graft_tdigest_cdf"
+  val KmvEstimateName = "graft_kmv_estimate"
+  val KmvJaccardName = "graft_kmv_jaccard"
+  val KmvIntersectName = "graft_kmv_intersect"
 
   // optional-key literal parsing shared with the other builders
   private def keyLit(e: Expression): Option[Long] = GraftFunctions.keyLit(e)
@@ -282,6 +371,17 @@ object SketchReaders {
       s"${if (isKll) KllQuantileName else TDigestQuantileName} expects (sketch BINARY, q DOUBLE)")
   }
 
+  private[plans] def kmvEstimateBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => KmvEstimateExpr(s)
+    case _ => throw new IllegalArgumentException(s"$KmvEstimateName expects (sketch BINARY)")
+  }
+
+  private[plans] def kmvPairBuilder(jaccard: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => KmvPairExpr(a, b, jaccard)
+    case _ => throw new IllegalArgumentException(
+      s"${if (jaccard) KmvJaccardName else KmvIntersectName} expects (a BINARY, b BINARY)")
+  }
+
   private[plans] def rankBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, x) => RankReadExpr(s, asDouble(x), isKll)
     case _ => throw new IllegalArgumentException(
@@ -299,4 +399,7 @@ object SketchReaders {
   def tdigestQuantile(sketch: Column, q: Column): Column = call_function(TDigestQuantileName, sketch, q)
   def kllRank(sketch: Column, x: Column): Column = call_function(KllRankName, sketch, x)
   def tdigestCdf(sketch: Column, x: Column): Column = call_function(TDigestCdfName, sketch, x)
+  def kmvEstimate(sketch: Column): Column = call_function(KmvEstimateName, sketch)
+  def kmvJaccard(a: Column, b: Column): Column = call_function(KmvJaccardName, a, b)
+  def kmvIntersect(a: Column, b: Column): Column = call_function(KmvIntersectName, a, b)
 }

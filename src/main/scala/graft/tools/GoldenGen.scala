@@ -30,6 +30,12 @@ object GoldenGen {
     val hh = new FrequentItems.Summary(16)
     (0 until 12000).foreach(i => hh.add(if (i % 2 == 0) (i / 2) % 8 else 100L + i % 3000))
     java.nio.file.Files.write(outDir.resolve("freqitems_16.bin"), FrequentItems.toBytes(hh))
+    // KMV bottom-k: fixed key + payload -> deterministic retained hashes
+    val kmv = Kmv.emptyHashes(64)
+    var kmvSize = 0
+    (1 to 5000).foreach(i => kmvSize = Kmv.add(kmv, kmvSize, SipHash.hashInt(k0, k1, i)))
+    java.nio.file.Files.write(outDir.resolve("kmv_64.bin"),
+      Kmv.toBytes(kmv, kmvSize, BlockedBloom.TypeTag.Int, SipHash.hashLong(k0, k1, k0 ^ k1)))
     println("golden files written")
   }
 }

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core._
 import graft.functions.SketchFunctions
+import graft.plans.GraftFunctions
 import graft.operators.SketchAggs._
 import graft.sources.Tokens
 
@@ -269,6 +270,49 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     exact.foreach { case (k, t) =>
       if (t > s.decremented) assert(s.contains(k), s"heavy $k lost in serialized merge")
     }
+  }
+
+  test("KMV agg over Spark partitions: retained bottom-k identical to serial build, any parallelism") {
+    val kmvUdaf = udaf(new KmvTokensAgg(K0, K1, 64), ExpressionEncoder[Array[Int]]())
+    // serial truth
+    val serialHashes = Kmv.emptyHashes(64)
+    var serialSize = 0
+    tokenDf(500, 1).select("tokens").collect().foreach { r =>
+      r.getSeq[Int](0).foreach(t =>
+        serialSize = Kmv.add(serialHashes, serialSize, SipHash.hashInt(K0, K1, t)))
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val bytes = tokenDf(500, parts).agg(kmvUdaf(col("tokens"))).head().getAs[Array[Byte]](0)
+      val (h, s, tag, _) = Kmv.fromBytes(bytes)
+      assert(tag === BlockedBloom.TypeTag.Int)
+      assert(s === serialSize && h.take(s).sameElements(serialHashes.take(serialSize)),
+        s"KMV at $parts partitions differs from serial build")
+    }
+  }
+
+  test("KMV full SQL path: build, merge, estimate, jaccard, intersect via registered functions") {
+    GraftFunctions.register(spark)
+    tokenDf(400, 4).createOrReplaceTempView("kmv_docs")
+    val row = spark.sql(
+      """SELECT graft_kmv_estimate(graft_kmv_merge(sk)) AS g_est,
+        |       graft_kmv_jaccard(min(sk), max(sk)) AS j,
+        |       graft_kmv_intersect(min(sk), max(sk)) AS inter
+        |FROM (SELECT source, graft_kmv_tokens(tokens) AS sk
+        |      FROM kmv_docs WHERE source IN ('src0', 'src1') GROUP BY source)""".stripMargin)
+      .head()
+    // exact truths from the fixture
+    val d = spark.sql(
+      """SELECT source, collect_set(t) AS s FROM
+        |(SELECT source, explode(tokens) AS t FROM kmv_docs WHERE source IN ('src0','src1'))
+        |GROUP BY source ORDER BY source""".stripMargin).collect()
+    val s0 = d(0).getSeq[Int](1).toSet
+    val s1 = d(1).getSeq[Int](1).toSet
+    val interExact = (s0 & s1).size.toDouble
+    val unionExact = (s0 | s1).size.toDouble
+    val se = Kmv.stdError(256)
+    assert(math.abs(row.getDouble(0) - unionExact) <= 4 * se * unionExact + 3)
+    assert(math.abs(row.getDouble(1) - interExact / unionExact) <= 5 * math.sqrt(0.25 / 256) + 0.01)
+    assert(math.abs(row.getDouble(2) - interExact) <= 0.3 * interExact + 5)
   }
 
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {

@@ -57,6 +57,18 @@ class GoldenFilesSpec extends AnyFunSuite {
     (0L until 8L).foreach(k => assert(back.contains(k), s"planted heavy $k missing"))
   }
 
+  test("kmv golden file: byte-identical rebuild, estimator inside bound") {
+    val h = Kmv.emptyHashes(64)
+    var s = 0
+    (1 to 5000).foreach(i => s = Kmv.add(h, s, SipHash.hashInt(k0, k1, i)))
+    val fresh = Kmv.toBytes(h, s, BlockedBloom.TypeTag.Int, SipHash.hashLong(k0, k1, k0 ^ k1))
+    val stored = golden("kmv_64.bin")
+    assert(java.util.Arrays.equals(fresh, stored), "KMV golden drift")
+    val (h2, s2, tag, _) = Kmv.fromBytes(stored)
+    assert(tag === BlockedBloom.TypeTag.Int && s2 === 64)
+    assert(math.abs(Kmv.estimate(h2, s2) - 5000) <= 4 * Kmv.stdError(64) * 5000)
+  }
+
   test("cms golden file: byte-identical rebuild and exact point estimates") {
     val cms = CmsConfig(k0, k1, 4, 8)
     val buf = CountMin.empty(cms)

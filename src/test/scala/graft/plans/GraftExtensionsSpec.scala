@@ -69,4 +69,35 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
   }
+
+  test("injected KMV readers resolve from pure SQL; cross-key pair rejected") {
+    import graft.core.{Kmv, SipHash}
+    val keyHash = SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, Keys.DefaultK0 ^ Keys.DefaultK1)
+    def sketchHex(elems: Range): String = {
+      val h = Kmv.emptyHashes(64)
+      var s = 0
+      elems.foreach(e => s = Kmv.add(h, s, SipHash.hashInt(Keys.DefaultK0, Keys.DefaultK1, e)))
+      Kmv.toBytes(h, s, BlockedBloom.TypeTag.Int, keyHash).map("%02x".format(_)).mkString
+    }
+    val a = sketchHex(1 to 30)
+    val b = sketchHex(21 to 50)
+    val row = spark.sql(
+      s"SELECT graft_kmv_estimate(X'$a'), graft_kmv_jaccard(X'$a', X'$b'), " +
+        s"graft_kmv_intersect(X'$a', X'$b')").head()
+    assert(row.getDouble(0) === 30.0) // below saturation: exact
+    assert(math.abs(row.getDouble(1) - 10.0 / 50.0) < 1e-12)
+    assert(row.getDouble(2) === 10.0)
+    // a sketch serialized under a different key must be rejected by the pair op
+    val otherKeyHash = keyHash + 1
+    val c = {
+      val h = Kmv.emptyHashes(64)
+      var s = 0
+      (1 to 30).foreach(e => s = Kmv.add(h, s, SipHash.hashInt(Keys.DefaultK0, Keys.DefaultK1, e)))
+      Kmv.toBytes(h, s, BlockedBloom.TypeTag.Int, otherKeyHash).map("%02x".format(_)).mkString
+    }
+    val err = intercept[Exception](
+      spark.sql(s"SELECT graft_kmv_jaccard(X'$a', X'$c')").head())
+    assert(err.getMessage.contains("different SipHash keys") ||
+      Option(err.getCause).exists(_.getMessage.contains("different SipHash keys")))
+  }
 }
