@@ -318,6 +318,7 @@ object GraftFunctions {
     (SketchReaders.KmvEstimateName, classOf[KmvEstimateExpr], SketchReaders.kmvEstimateBuilder _),
     (SketchReaders.KmvJaccardName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(jaccard = true) _),
     (SketchReaders.KmvIntersectName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(jaccard = false) _),
+    (SketchReaders.KmvUnionName, classOf[KmvUnionExpr], SketchReaders.kmvUnionBuilder _),
     (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _))
 
   /** Register every native expression (cheap, idempotent) — enough for the

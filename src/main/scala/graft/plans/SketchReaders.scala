@@ -321,6 +321,49 @@ case class KmvPairExpr(left: Expression, right: Expression, jaccard: Boolean)
     copy(left = l, right = r)
 }
 
+/** `graft_kmv_union(a, b)` -> binary: the serialized bottom-k union — the
+  * KMV analogue of `graft_bloom_union` (pairwise SQL set op on finished
+  * sketches; cross-capacity pairs fold down to the smaller k, mirroring
+  * the reference's different-size `unionInto`, `Internal.hs:509-550`).
+  * Composes with the readers: `graft_kmv_estimate(graft_kmv_union(a,b))`
+  * is the union-cardinality estimate in pure SQL. */
+case class KmvUnionExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_kmv_union"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"both arguments must be BINARY KMV sketches, got ${left.dataType}, ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cacheL = new ReaderCache[LoadedKmv](LoadedKmv.load)
+  @transient private lazy val cacheR = new ReaderCache[LoadedKmv](LoadedKmv.load)
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ka = cacheL.get(a)
+    val kb = cacheR.get(b)
+    require(ka.typeTag == kb.typeTag,
+      s"$prettyName: sketches hold different element types (${ka.typeTag} vs ${kb.typeTag})")
+    require(ka.keyHash == kb.keyHash,
+      s"$prettyName: sketches were built under different SipHash keys")
+    val (h, s) = Kmv.merge(ka.hashes, ka.size, kb.hashes, kb.size)
+    Kmv.toBytes(h, s, ka.typeTag, ka.keyHash)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("kmvUnion", this, classOf[KmvUnionExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$selfRef.union($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object SketchReaders {
 
   val HllEstimateName = "graft_hll_estimate"
@@ -333,6 +376,7 @@ object SketchReaders {
   val KmvEstimateName = "graft_kmv_estimate"
   val KmvJaccardName = "graft_kmv_jaccard"
   val KmvIntersectName = "graft_kmv_intersect"
+  val KmvUnionName = "graft_kmv_union"
 
   // optional-key literal parsing shared with the other builders
   private def keyLit(e: Expression): Option[Long] = GraftFunctions.keyLit(e)
@@ -382,6 +426,11 @@ object SketchReaders {
       s"${if (jaccard) KmvJaccardName else KmvIntersectName} expects (a BINARY, b BINARY)")
   }
 
+  private[plans] def kmvUnionBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => KmvUnionExpr(a, b)
+    case _ => throw new IllegalArgumentException(s"$KmvUnionName expects (a BINARY, b BINARY)")
+  }
+
   private[plans] def rankBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, x) => RankReadExpr(s, asDouble(x), isKll)
     case _ => throw new IllegalArgumentException(
@@ -402,4 +451,5 @@ object SketchReaders {
   def kmvEstimate(sketch: Column): Column = call_function(KmvEstimateName, sketch)
   def kmvJaccard(a: Column, b: Column): Column = call_function(KmvJaccardName, a, b)
   def kmvIntersect(a: Column, b: Column): Column = call_function(KmvIntersectName, a, b)
+  def kmvUnion(a: Column, b: Column): Column = call_function(KmvUnionName, a, b)
 }

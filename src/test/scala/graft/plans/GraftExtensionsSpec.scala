@@ -83,10 +83,12 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = sketchHex(21 to 50)
     val row = spark.sql(
       s"SELECT graft_kmv_estimate(X'$a'), graft_kmv_jaccard(X'$a', X'$b'), " +
-        s"graft_kmv_intersect(X'$a', X'$b')").head()
+        s"graft_kmv_intersect(X'$a', X'$b'), " +
+        s"graft_kmv_estimate(graft_kmv_union(X'$a', X'$b'))").head()
     assert(row.getDouble(0) === 30.0) // below saturation: exact
     assert(math.abs(row.getDouble(1) - 10.0 / 50.0) < 1e-12)
     assert(row.getDouble(2) === 10.0)
+    assert(row.getDouble(3) === 50.0) // union also below saturation: exact
     // a sketch serialized under a different key must be rejected by the pair op
     val otherKeyHash = keyHash + 1
     val c = {
