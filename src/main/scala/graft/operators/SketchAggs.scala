@@ -352,6 +352,40 @@ object SketchAggs {
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
 
+  /** Merges already-serialized KLL sketches (second-level aggregation:
+    * the checkpoint-merge shape, completing the family — Bloom/HLL/CMS/
+    * Misra-Gries/KMV all have one). Buffer is the decoded sketch object
+    * (`null` = empty); k must match (enforced by [[KllSketch.merge]]);
+    * the merged sketch obeys the same rank-error bound as a single build
+    * over the union stream. */
+  final class KllBytesMergeAgg extends Aggregator[Array[Byte], KllSketch, Array[Byte]] {
+    override def zero: KllSketch = null
+    override def reduce(buf: KllSketch, x: Array[Byte]): KllSketch =
+      if (x == null || x.isEmpty) buf
+      else { val s = Kll.fromBytes(x); if (buf == null) s else buf.merge(s) }
+    override def merge(b1: KllSketch, b2: KllSketch): KllSketch =
+      if (b1 == null) b2 else if (b2 == null) b1 else b1.merge(b2)
+    override def finish(buf: KllSketch): Array[Byte] =
+      if (buf == null) Array.emptyByteArray else buf.toBytes
+    override def bufferEncoder: Encoder[KllSketch] = Encoders.kryo[KllSketch]
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
+  /** Merges already-serialized t-digests (second-level aggregation).
+    * Compression must match (enforced by [[TDigest.merge]]). */
+  final class TDigestBytesMergeAgg extends Aggregator[Array[Byte], TDigest, Array[Byte]] {
+    override def zero: TDigest = null
+    override def reduce(buf: TDigest, x: Array[Byte]): TDigest =
+      if (x == null || x.isEmpty) buf
+      else { val s = TDigest.fromBytes(x); if (buf == null) s else buf.merge(s) }
+    override def merge(b1: TDigest, b2: TDigest): TDigest =
+      if (b1 == null) b2 else if (b2 == null) b1 else b1.merge(b2)
+    override def finish(buf: TDigest): Array[Byte] =
+      if (buf == null) Array.emptyByteArray else buf.toBytes
+    override def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
   // ---------------------------------------------- frequent items (MG/SS)
 
   /** Misra-Gries heavy-hitter summary over a long key column — top-k when

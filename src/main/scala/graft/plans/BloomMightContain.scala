@@ -358,6 +358,14 @@ object GraftFunctions {
       udaf(new KmvLongAgg(Keys.DefaultK0, Keys.DefaultK1, 256), ExpressionEncoder[Long]()))
     spark.udf.register("graft_kmv_merge",
       udaf(new KmvMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_hll_merge",
+      udaf(new graft.jobs.HllBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_cms_merge",
+      udaf(new graft.jobs.CmsBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_kll_merge",
+      udaf(new KllBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_tdigest_merge",
+      udaf(new TDigestBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
     // readers over the serialized Misra-Gries summary: top-k entries (ties
     // by key — deterministic), the one-sided error bound D, and total N.
     // Per-group rows only, so a UDF boundary is immaterial here.

@@ -315,6 +315,25 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(row.getDouble(2) - interExact) <= 0.3 * interExact + 5)
   }
 
+  test("serialized second-level quantile merges: per-source KLL/t-digest merged sketches stay within rank-error bound") {
+    GraftFunctions.register(spark)
+    tokenDf(600, 6).createOrReplaceTempView("qmerge_docs")
+    // level 1: per-source serialized sketches; level 2: merge across sources
+    val row = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_merge(kll_sk), 0.5) AS kll_med,
+        |       graft_tdigest_quantile(graft_tdigest_merge(td_sk), 0.5) AS td_med
+        |FROM (SELECT source, graft_kll(CAST(n_tok AS DOUBLE)) AS kll_sk,
+        |             graft_tdigest(CAST(n_tok AS DOUBLE)) AS td_sk
+        |      FROM qmerge_docs GROUP BY source)""".stripMargin).head()
+    val exact = tokenDf(600, 6).select("n_tok").collect().map(_.getInt(0).toDouble).sorted
+    def rankOf(x: Double): Double = exact.count(_ <= x).toDouble / exact.length
+    // KLL(k=200) rank error ~1.7%/sqrt... use 5% slack; t-digest mid-quantiles tighter
+    assert(math.abs(rankOf(row.getDouble(0)) - 0.5) <= 0.05,
+      s"merged KLL median ${row.getDouble(0)} at rank ${rankOf(row.getDouble(0))}")
+    assert(math.abs(rankOf(row.getDouble(1)) - 0.5) <= 0.05,
+      s"merged t-digest median ${row.getDouble(1)} at rank ${rankOf(row.getDouble(1))}")
+  }
+
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
     val dir = "/root/testdata/sf0.001"
     val a = Tokens.table(spark, dir).orderBy("doc_id").collect()
