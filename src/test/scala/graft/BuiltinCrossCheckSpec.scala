@@ -114,4 +114,36 @@ class BuiltinCrossCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fpr = anti.count(x => BlockedBloom.containsLong(w, c, x)).toDouble / anti.size
     assert(fpr < 0.01, s"our bloom FPR $fpr at 52 bits/elem should be << 1%")
   }
+
+  test("KMV distinct-count vs approx_count_distinct vs exact; intersection vs exact") {
+    val df = tokensDf
+    val exact = df.select(explode(col("tokens"))).distinct().count()
+    val kmvBytes = df
+      .agg(udaf(new KmvTokensAgg(K0, K1, 512), ExpressionEncoder[Array[Int]]())(col("tokens")))
+      .head().getAs[Array[Byte]](0)
+    val (h, s, _, _) = Kmv.fromBytes(kmvBytes)
+    val ours = Kmv.estimate(h, s)
+    val builtin = df.select(explode(col("tokens")).as("t"))
+      .agg(approx_count_distinct(col("t"), 0.02)).head().getLong(0)
+    assert(math.abs(ours - exact) <= 4 * Kmv.stdError(512) * exact + 2,
+      s"our KMV $ours vs exact $exact")
+    assert(math.abs(ours - builtin) <= (4 * Kmv.stdError(512) + 0.05) * exact + 4)
+    // intersection: two half-vocab sketches whose true overlap is exact-computable
+    val dfA = df.where(pmod(col("tokens")(0), lit(3)) =!= 0)
+    val dfB = df.where(pmod(col("tokens")(0), lit(3)) =!= 1)
+    def sketchOf(d: DataFrame): (Array[Long], Int) = {
+      val b = d.agg(udaf(new KmvTokensAgg(K0, K1, 512), ExpressionEncoder[Array[Int]]())(col("tokens")))
+        .head().getAs[Array[Byte]](0)
+      val (hh, ss, _, _) = Kmv.fromBytes(b)
+      (hh, ss)
+    }
+    val (ha, sa) = sketchOf(dfA)
+    val (hb, sb) = sketchOf(dfB)
+    val setA = dfA.select(explode(col("tokens")).as("t")).distinct().collect().map(_.getInt(0)).toSet
+    val setB = dfB.select(explode(col("tokens")).as("t")).distinct().collect().map(_.getInt(0)).toSet
+    val interExact = (setA & setB).size.toDouble
+    val (_, interEst) = Kmv.jaccardAndIntersection(ha, sa, hb, sb)
+    assert(math.abs(interEst - interExact) <= 0.25 * interExact + 10,
+      s"KMV intersection $interEst vs exact $interExact")
+  }
 }
