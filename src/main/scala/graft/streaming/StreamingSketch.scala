@@ -227,4 +227,24 @@ object StreamingSketch {
       .groupBy(window(col(tsCol), windowDuration), col("source"))
       .agg(cmsU(col("tokens")).as("cms"))
   }
+
+  /** Per-(window, source) KMV distinct sketch. KMV content is fully
+    * order-insensitive (the retained bottom-k is a pure function of the
+    * element SET), so the state-store merge across micro-batches must be
+    * BYTE-IDENTICAL to a batch build over the same window — the strongest
+    * streaming ≡ batch equivalence in the family (Bloom shares it; CMS/HLL
+    * share it; Misra-Gries does not, by design). */
+  def windowedKmv(
+      tokens: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      k0: Long, k1: Long, k: Int): DataFrame = {
+    val tokensEnc = ExpressionEncoder[Array[Int]]()
+    val kmvU = udaf(new KmvTokensAgg(k0, k1, k), tokensEnc)
+    tokens
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col("source"))
+      .agg(kmvU(col("tokens")).as("kmv"))
+  }
 }

@@ -110,6 +110,41 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("windowed KMV is byte-identical to a serial build (order-insensitive state-store merge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val df = stream.toDF().toDF("ts", "source", "tokens")
+    val out = StreamingSketch.windowedKmv(
+      df, "ts", "10 minutes", "5 minutes", Keys.DefaultK0, Keys.DefaultK1, k = 16)
+    val query = out.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_kmv").start()
+    try {
+      // out-of-order micro-batches with duplicates across batches
+      stream.addData((ts(1), "a", Array(1, 2, 3, 50, 51)), (ts(2), "a", Array(3, 4)))
+      query.processAllAvailable()
+      stream.addData((ts(3), "a", (20 to 45).toArray), (ts(1), "a", Array(1, 2)))
+      query.processAllAvailable()
+      val bytes = spark.table("stream_kmv")
+        .where(col("source") === "a").head().getAs[Array[Byte]]("kmv")
+      val allTokens = Seq(1, 2, 3, 50, 51, 3, 4) ++ (20 to 45) ++ Seq(1, 2)
+      val serial = graft.core.Kmv.emptyHashes(16)
+      var s = 0
+      allTokens.foreach(t => s = graft.core.Kmv.add(serial, s,
+        graft.core.SipHash.hashInt(Keys.DefaultK0, Keys.DefaultK1, t)))
+      val serialBytes = graft.core.Kmv.toBytes(serial, s,
+        graft.core.BlockedBloom.TypeTag.Int,
+        graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, Keys.DefaultK0 ^ Keys.DefaultK1))
+      assert(java.util.Arrays.equals(bytes, serialBytes),
+        "streaming KMV differs from serial build")
+      // saturated (33 distinct > k=16): estimator runs on the kth min
+      val (h, sz, _, _) = graft.core.Kmv.fromBytes(bytes)
+      assert(sz === 16)
+      val est = graft.core.Kmv.estimate(h, sz)
+      assert(math.abs(est - 33.0) <= 4 * graft.core.Kmv.stdError(16) * 33 + 2)
+    } finally query.stop()
+  }
+
   test("append-mode replay driver query: exact counts over the surviving half only") {
     val out = StreamingSketch.replayBloomWindowsAppend(
       spark, "/root/testdata/sf0.001", BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 10), 12)
