@@ -229,9 +229,13 @@ object SketchQueries {
         SketchReaders.kmvIntersect(col("sa.sk"), col("sb.sk")).as("est_inter"))
     val ndA = exactPer.select(col("status").as("status_a"), col("nd").as("nd_a"))
     val ndB = exactPer.select(col("status").as("status_b"), col("nd").as("nd_b"))
+    // LEFT join + coalesce: a pair with ZERO exact overlap must still emit
+    // its row (the oracle enumerates ALL status pairs; an inner join would
+    // drop disjoint pairs and fail the gate on row count, not estimates)
     val joined = pairs
       .join(broadcast(ndA), "status_a").join(broadcast(ndB), "status_b")
-      .join(broadcast(exactInter), Seq("status_a", "status_b"))
+      .join(broadcast(exactInter), Seq("status_a", "status_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
       .crossJoin(broadcast(globalEst)).crossJoin(broadcast(globalExact))
     val unionExact = col("nd_a") + col("nd_b") - col("exact_inter")
     val exactJ = col("exact_inter") / unionExact

@@ -144,10 +144,14 @@ object Kmv {
     require(version == SerialVersion, s"KMV serialized version $version")
     val typeTag = bb.getLong()
     val keyHash = bb.getLong()
-    val k = bb.getLong().toInt
-    val size = bb.getLong().toInt
-    require(k >= 4 && k <= (1 << 20), s"KMV serialized k=$k out of range")
-    require(size >= 0 && size <= k, s"KMV serialized size=$size for k=$k")
+    // range-check BEFORE narrowing: a 64-bit header value like 2^32+256
+    // must be rejected, not silently truncated to its low 32 bits
+    val k64 = bb.getLong()
+    val size64 = bb.getLong()
+    require(k64 >= 4L && k64 <= (1L << 20), s"KMV serialized k=$k64 out of range")
+    require(size64 >= 0L && size64 <= k64, s"KMV serialized size=$size64 for k=$k64")
+    val k = k64.toInt
+    val size = size64.toInt
     require(bytes.length == 40 + 8 * size,
       s"KMV serialized length ${bytes.length}, expected ${40 + 8 * size}")
     val hashes = new Array[Long](k)

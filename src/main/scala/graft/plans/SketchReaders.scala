@@ -245,6 +245,20 @@ private[plans] object LoadedKmv {
     val (h, s, tag, keyHash) = Kmv.fromBytes(bytes)
     new LoadedKmv(h, s, tag, keyHash)
   }
+
+  /** Load both sides of a pairwise op and enforce compatibility (same
+    * element type, same SipHash key) — the single definition every
+    * pairwise KMV expression shares, so the rules cannot drift. */
+  def loadPair(cacheL: ReaderCache[LoadedKmv], cacheR: ReaderCache[LoadedKmv],
+      a: Array[Byte], b: Array[Byte], opName: String): (LoadedKmv, LoadedKmv) = {
+    val ka = cacheL.get(a)
+    val kb = cacheR.get(b)
+    require(ka.typeTag == kb.typeTag,
+      s"$opName: sketches hold different element types (${ka.typeTag} vs ${kb.typeTag})")
+    require(ka.keyHash == kb.keyHash,
+      s"$opName: sketches were built under different SipHash keys")
+    (ka, kb)
+  }
 }
 
 /** `graft_kmv_estimate(sketch)` -> double (distinct-count; exact below
@@ -299,12 +313,7 @@ case class KmvPairExpr(left: Expression, right: Expression, jaccard: Boolean)
   @transient private lazy val cacheR = new ReaderCache[LoadedKmv](LoadedKmv.load)
 
   def compute(a: Array[Byte], b: Array[Byte]): Double = {
-    val ka = cacheL.get(a)
-    val kb = cacheR.get(b)
-    require(ka.typeTag == kb.typeTag,
-      s"$prettyName: sketches hold different element types (${ka.typeTag} vs ${kb.typeTag})")
-    require(ka.keyHash == kb.keyHash,
-      s"$prettyName: sketches were built under different SipHash keys")
+    val (ka, kb) = LoadedKmv.loadPair(cacheL, cacheR, a, b, prettyName)
     val (j, inter) = Kmv.jaccardAndIntersection(ka.hashes, ka.size, kb.hashes, kb.size)
     if (jaccard) j else inter
   }
@@ -342,12 +351,7 @@ case class KmvUnionExpr(left: Expression, right: Expression) extends BinaryExpre
   @transient private lazy val cacheR = new ReaderCache[LoadedKmv](LoadedKmv.load)
 
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val ka = cacheL.get(a)
-    val kb = cacheR.get(b)
-    require(ka.typeTag == kb.typeTag,
-      s"$prettyName: sketches hold different element types (${ka.typeTag} vs ${kb.typeTag})")
-    require(ka.keyHash == kb.keyHash,
-      s"$prettyName: sketches were built under different SipHash keys")
+    val (ka, kb) = LoadedKmv.loadPair(cacheL, cacheR, a, b, prettyName)
     val (h, s) = Kmv.merge(ka.hashes, ka.size, kb.hashes, kb.size)
     Kmv.toBytes(h, s, ka.typeTag, ka.keyHash)
   }

@@ -137,11 +137,13 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, Keys.DefaultK0 ^ Keys.DefaultK1))
       assert(java.util.Arrays.equals(bytes, serialBytes),
         "streaming KMV differs from serial build")
-      // saturated (33 distinct > k=16): estimator runs on the kth min
+      // saturated (32 distinct = |{1,2,3,4,50,51}| + |20..45| > k=16):
+      // the estimator runs on the kth min
       val (h, sz, _, _) = graft.core.Kmv.fromBytes(bytes)
       assert(sz === 16)
+      assert(allTokens.distinct.size === 32)
       val est = graft.core.Kmv.estimate(h, sz)
-      assert(math.abs(est - 33.0) <= 4 * graft.core.Kmv.stdError(16) * 33 + 2)
+      assert(math.abs(est - 32.0) <= 4 * graft.core.Kmv.stdError(16) * 32 + 2)
     } finally query.stop()
   }
 
