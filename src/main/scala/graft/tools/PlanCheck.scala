@@ -39,6 +39,9 @@ object PlanCheck {
         .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
       show("ivfSearch(stored, nProbe=4)", graft.operators.Similarity.ivfSearch(loaded, query, 10, 4))
     }
+    // round-3 additions: salted two-level build and the KMV estimate path
+    show("saltedBuildEquiv", graft.SketchQueries.saltedBuildEquiv(spark, dir))
+    show("kmvIntersectBound", graft.SketchQueries.kmvIntersectBound(spark, dir))
     spark.stop()
   }
 }
