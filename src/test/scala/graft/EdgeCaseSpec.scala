@@ -155,6 +155,42 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"vocab $vocab too close to CMS width $width: q_cms_topk estimates may collide")
   }
 
+  test("KMV edge cases: empty group, null tokens, cross-capacity SQL merge, cross-type rejection") {
+    import graft.core.{Kmv, SipHash}
+    // empty + null inputs through the Aggregator surface
+    val agg = new KmvTokensAgg(K0, K1, 16)
+    val empty = agg.finish(agg.zero)
+    val (h0, s0, _, _) = Kmv.fromBytes(empty)
+    assert(s0 === 0 && Kmv.estimate(h0, s0) === 0.0)
+    assert(agg.reduce(agg.zero, null).size === 0)
+    // pairwise ops on an empty sketch: exact zeros, no crash
+    val (hx, sx) = {
+      val h = Kmv.emptyHashes(16); var s = 0
+      (1 to 9).foreach(e => s = Kmv.add(h, s, SipHash.hashInt(K0, K1, e))); (h, s)
+    }
+    val (j, inter) = Kmv.jaccardAndIntersection(hx, sx, h0, s0)
+    assert(j === 0.0 && inter === 0.0)
+    // cross-capacity serialized merge folds to the smaller k
+    val keyHash = SipHash.hashLong(K0, K1, K0 ^ K1)
+    def ser(k: Int, elems: Range): Array[Byte] = {
+      val h = Kmv.emptyHashes(k); var s = 0
+      elems.foreach(e => s = Kmv.add(h, s, SipHash.hashInt(K0, K1, e)))
+      Kmv.toBytes(h, s, BlockedBloom.TypeTag.Int, keyHash)
+    }
+    val m = new KmvMergeAgg(K0, K1)
+    val merged = m.finish(m.reduce(m.reduce(m.zero, ser(64, 1 to 1000)), ser(16, 500 to 1500)))
+    val (hm, sm, _, _) = Kmv.fromBytes(merged)
+    assert(hm.length === 16 && sm === 16)
+    assert(math.abs(Kmv.estimate(hm, sm) - 1500) <= 5 * Kmv.stdError(16) * 1500)
+    // cross-type serialized merge rejected
+    val typed = Kmv.toBytes(Kmv.emptyHashes(16), 0, BlockedBloom.TypeTag.String, keyHash)
+    assertThrows[IllegalArgumentException](
+      m.merge(m.reduce(m.zero, ser(16, 1 to 10)), m.reduce(m.zero, typed)))
+    // wrong-key serialized input rejected at decode
+    val wrongKey = Kmv.toBytes(Kmv.emptyHashes(16), 0, BlockedBloom.TypeTag.Int, keyHash + 1)
+    assertThrows[IllegalArgumentException](m.reduce(m.zero, wrongKey))
+  }
+
   test("HLL merge rejects mismatched precision; bloom merge rejects mismatched k") {
     val a = Hll.empty(10)
     val b = Hll.empty(12)
