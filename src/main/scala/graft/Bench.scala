@@ -295,6 +295,26 @@ object Bench {
       (sec, verified, cands)
     }
 
+    // ---- phase 3d: KMV distinct-sketch build throughput ----
+    // KMV insert is a binary search + rare memmove, but the saturated
+    // fast-reject (one unsigned compare vs the kth min) makes the steady
+    // state ~1 compare/token — measured so the newest family member has a
+    // recorded tokens/s figure next to the fused Bloom+HLL+CMS flagship.
+    val kmvSecs = {
+      val s = session(cpus)
+      val tokensEnc = ExpressionEncoder[Array[Int]]()
+      val kmvU = udaf(new graft.operators.SketchAggs.KmvTokensAgg(
+        SketchQueries.K0, SketchQueries.K1, 1024), tokensEnc)
+      val df = s.read.parquet(benchPath)
+      def run(): Int = df.groupBy(col("source")).agg(kmvU(col("tokens"))).collect().length
+      run() // warm
+      val laps = (1 to 2).map(_ => time(run())._2)
+      System.err.println(f"[bench] kmv: $totalTokens tokens, secs=${jsonArr(laps)}%s")
+      stopSession(s)
+      laps
+    }
+    val kmvSec = kmvSecs.min
+
     // ---- phase 4: empirical FPR vs analytic bound on the bench bloom ----
     val (bCfg, words, _) = BlockedBloom.fromBytes(SketchQueries.K0, SketchQueries.K1, bloomBytes)
     val antiN = 200000
@@ -330,6 +350,7 @@ object Bench {
         f""""probes_per_sec_n$cpus":${probeTotal / probeSec}%.0f,"probe_secs":${jsonArr(probeSecs)}%s,""" +
         f""""lsh_docs":$lshDocs,"lsh_sec":$lshSec%.3f,"lsh_docs_per_sec":${lshDocs / lshSec}%.0f,""" +
         s""""lsh_candidate_pairs":$lshCandidates,"lsh_verified_pairs":$lshVerified,""" +
+        f""""kmv_sec":$kmvSec%.3f,"kmv_tokens_per_sec":${totalTokens / kmvSec}%.0f,"kmv_secs":${jsonArr(kmvSecs)}%s,""" +
         f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}""")
   }
 
