@@ -345,6 +345,49 @@ object SketchQueries {
     agg.select(col("source"), ok.as("within_bound")).orderBy(col("source"))
   }
 
+  /** TWO-LEVEL quantile merge under the driver gate: per-source KLL and
+    * t-digest sketches are serialized, merged globally through
+    * [[graft.operators.SketchAggs.KllBytesMergeAgg]] /
+    * [[graft.operators.SketchAggs.TDigestBytesMergeAgg]] (the
+    * checkpoint-merge shape — every family member's serialized-merge path
+    * now has a gate), and the merged estimates are checked against GLOBAL
+    * exact ranks. KLL merge preserves the rank-error guarantee (levelwise
+    * concat + recompaction); the margin is doubled for the extra
+    * compaction round. */
+  def quantileMergeBound(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
+    val t = Tokens.table(spark, dir)
+    val kllMergeUdaf = udaf(new KllBytesMergeAgg, binaryEnc)
+    val tdMergeUdaf = udaf(new TDigestBytesMergeAgg, binaryEnc)
+    val perSource = t.groupBy(col("source")).agg(
+      kllUdaf(col("n_tok").cast("double")).as("kll"),
+      tdigestUdaf(col("n_tok").cast("double")).as("td"))
+    val merged = perSource.agg(
+      kllMergeUdaf(col("kll")).as("kll"), tdMergeUdaf(col("td")).as("td"))
+    val qs = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75)
+    val est = merged.select(
+      qs.flatMap { case (tag, q) => Seq(
+        SketchReaders.kllQuantile(col("kll"), lit(q)).as(s"kll_$tag"),
+        SketchReaders.tdigestQuantile(col("td"), lit(q)).as(s"td_$tag")) }: _*)
+    val withEst = t.crossJoin(broadcast(est))
+    val epsKll = Kll.normalizedRankError(kllK) * 2.0
+    val epsTd = 0.05
+    val agg = withEst.agg(
+      count(lit(1)).as("n"),
+      qs.flatMap { case (tag, _) => Seq(
+        sum(when(col("n_tok") < col(s"kll_$tag"), 1L).otherwise(0L)).as(s"klo_$tag"),
+        sum(when(col("n_tok") <= col(s"kll_$tag"), 1L).otherwise(0L)).as(s"khi_$tag"),
+        sum(when(col("n_tok") < col(s"td_$tag"), 1L).otherwise(0L)).as(s"tlo_$tag"),
+        sum(when(col("n_tok") <= col(s"td_$tag"), 1L).otherwise(0L)).as(s"thi_$tag")) }: _*)
+    def ok(lo: String, hi: String, q: Double, eps: Double) =
+      (col(lo) / col("n") <= lit(q + eps)) && (col(hi) / col("n") >= lit(q - eps))
+    agg.select(
+      qs.map { case (tag, q) => ok(s"klo_$tag", s"khi_$tag", q, epsKll) }
+        .reduce(_ && _).as("kll_within_bound"),
+      qs.map { case (tag, q) => ok(s"tlo_$tag", s"thi_$tag", q, epsTd) }
+        .reduce(_ && _).as("td_within_bound"))
+  }
+
   /** CMS-driven heavy-hitter top-k: rank distinct candidate tokens per
     * source by their count-min estimate. At this width (2048 counters vs a
     * tiny vocabulary) estimates are collision-free, i.e. exact, so the

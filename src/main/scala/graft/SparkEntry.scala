@@ -46,6 +46,8 @@ object SparkEntry {
     "q_bloom_intersect_exact" -> (SketchQueries.bloomIntersectExact _),
     "q_kll_ntok_quantile_bound" -> (SketchQueries.kllNtokQuantileBound _),
     "q_tdigest_ntok_quantile_bound" -> (SketchQueries.tdigestNtokQuantileBound _),
+    // two-level serialized quantile merge (checkpoint-merge shape)
+    "q_quantile_merge_bound" -> (SketchQueries.quantileMergeBound _),
     // training-pipeline text ops (exact)
     "q_token_count_exact" -> (SketchQueries.tokenCountExact _),
     "q_dedup_exact" -> (SketchQueries.dedupExact _),
@@ -133,6 +135,8 @@ object SparkEntry {
       "q_cms_heavyhitter_bound" -> boundOracle,
       "q_kll_ntok_quantile_bound" -> boundOracle,
       "q_tdigest_ntok_quantile_bound" -> boundOracle,
+      "q_quantile_merge_bound" ->
+        "SELECT true AS kll_within_bound, true AS td_within_bound",
       "q_token_count_exact" ->
         ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
           "CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok " +
