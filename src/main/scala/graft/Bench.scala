@@ -21,7 +21,10 @@ import graft.sources.Tokens
   *  3. Bloom probe (lookup) throughput through the native expression;
   *  4. empirical Bloom FPR of the bench build vs the analytic fpr() bound;
   *  5. MinHash-LSH near-dup dedup throughput on a 10%-planted-dup corpus
-  *     (candidate-volume behavior under dup-heavy skew).
+  *     (candidate-volume behavior under dup-heavy skew);
+  *  6. KMV distinct-sketch build throughput (k=1024, per-source) over the
+  *     same token table — emitted as kmv_sec / kmv_tokens_per_sec /
+  *     kmv_secs.
   *
   * SELF-EVIDENCING SCALING (round-2 VERDICT #1): rounds are interleaved
   * (each round visits every level back to back) so tens-of-minutes host
