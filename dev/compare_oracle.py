@@ -60,11 +60,28 @@ for q in sorted(os.listdir(out_dir)):
         fail += 1
         print(f"{q:35s} {status} rows={len(spark_df)}/{len(ora_df)} schema={schema} cols={s_cols} vs {o_cols}")
         if rows and schema:
+            import numpy as np
+            shown = 0
             for i, (x, y) in enumerate(zip(a, b)):
                 if x != y:
                     print(f"   row {i}: spark={x} oracle={y}")
-                    if i > 3:
+                    shown += 1
+                    if shown > 3:
                         break
+            if shown == 0:
+                # a numeric column can fail only beyond the 1e-9 tolerance while
+                # its string forms compare equal — print the actual deltas
+                for c in s_cols:
+                    sv, ov = spark_df[c], ora_df[c]
+                    if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+                        try:
+                            d = np.abs(sv.astype(float).values - ov.astype(float).values)
+                            bad = np.where(~np.isclose(sv.astype(float).values, ov.astype(float).values,
+                                                       rtol=0.0, atol=1e-9, equal_nan=True))[0]
+                            for i in bad[:4]:
+                                print(f"   col {c} row {i}: spark={sv.iloc[i]} oracle={ov.iloc[i]} |delta|={d[i]}")
+                        except (ValueError, TypeError):
+                            print(f"   col {c}: non-numeric values prevented delta print")
     else:
         print(f"{q:35s} {status} rows={len(spark_df)}")
 print("FAILURES:", fail)

@@ -311,7 +311,9 @@ object Bench {
       val df = s.read.parquet(benchPath)
       def run(): Int = df.groupBy(col("source")).agg(kmvU(col("tokens"))).collect().length
       run() // warm
-      val laps = (1 to 2).map(_ => time(run())._2)
+      // >= 3 timed laps (the probe phase's own standard — round-3 VERDICT #4:
+      // 2 laps recorded a 4.7x spread that min() hid; the envelope is data)
+      val laps = (1 to 3).map(_ => time(run())._2)
       System.err.println(f"[bench] kmv: $totalTokens tokens, secs=${jsonArr(laps)}%s")
       stopSession(s)
       laps
@@ -342,8 +344,17 @@ object Bench {
     val pairJson = levels.sliding(2).collect { case Seq(a, b) =>
       f""""scaling_efficiency_n${a}_n$b":${median(perRoundEff(a, b))}%.3f"""
     }.mkString(",")
-    println(
-      f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","queries":$qJson%s,"sf":"$sfDir%s",""" +
+    // ROUND-3 VERDICT #1: the single one-line JSON outgrew the driver's
+    // fixed TAIL capture window, head-truncating the artifact-of-record
+    // (it lost "value" and the first ~13 per-query times). The capture
+    // keeps the END of the output, so: (a) the bulky per-query map goes out
+    // FIRST as its own line (head-truncatable without losing the headline),
+    // (b) the headline line stays compact — every scaling/probe/LSH/KMV/FPR
+    // field plus the total, no per-query map — and prints LAST, (c) the
+    // complete JSON (headline + queries) is also written to
+    // BENCH/BENCH_last_full.json as the sidecar of record.
+    val headline =
+      f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","queries_sec":$totalSec%.3f,"n_queries":${queries.length}%d,"sf":"$sfDir%s",""" +
         s""""sketch_build_tokens":$totalTokens,$levelJson,""" +
         f""""scaling_levels":"${levels.mkString(",")}%s",""" +
         f""""scaling_rounds":${secsByLevel(l0).length}%d,""" +
@@ -354,7 +365,17 @@ object Bench {
         f""""lsh_docs":$lshDocs,"lsh_sec":$lshSec%.3f,"lsh_docs_per_sec":${lshDocs / lshSec}%.0f,""" +
         s""""lsh_candidate_pairs":$lshCandidates,"lsh_verified_pairs":$lshVerified,""" +
         f""""kmv_sec":$kmvSec%.3f,"kmv_tokens_per_sec":${totalTokens / kmvSec}%.0f,"kmv_secs":${jsonArr(kmvSecs)}%s,""" +
-        f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}""")
+        f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}"""
+    val full = headline.dropRight(1) + s""","queries":$qJson}"""
+    try {
+      val dir = new java.io.File("BENCH")
+      if (dir.isDirectory) {
+        val w = new java.io.PrintWriter(new java.io.File(dir, "BENCH_last_full.json"), "UTF-8")
+        try w.println(full) finally w.close()
+      }
+    } catch { case NonFatal(e) => System.err.println(s"[bench] sidecar write failed: $e") }
+    println(s"""{"metric":"per_query_sec","queries":$qJson}""")
+    println(headline)
   }
 
   /** Deterministic dup-heavy corpus: every 10th doc is a near-duplicate of

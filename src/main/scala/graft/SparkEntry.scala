@@ -127,7 +127,8 @@ object SparkEntry {
       "q_kmv_intersect_bound" ->
         ("SELECT a.s AS status_a, b.s AS status_b, true AS distinct_within_bound, " +
           "true AS inter_within_bound, true AS jaccard_within_bound, " +
-          "true AS merged_union_within_bound " +
+          "true AS merged_union_within_bound, true AS pairwise_union_within_bound, " +
+          "true AS crosscap_union_within_bound " +
           "FROM (SELECT DISTINCT o_orderstatus AS s FROM orders) a " +
           "JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders) b ON a.s < b.s " +
           "ORDER BY 1, 2"),

@@ -133,12 +133,21 @@ object FrequentItems {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val version = bb.getLong()
     require(version == SerialVersion, s"FrequentItems serialized version $version")
-    val capacity = bb.getLong().toInt
+    // range-check the Long header fields BEFORE narrowing to Int (a corrupt
+    // capacity of 2^32+16 must fail here, not silently truncate to 16 —
+    // mirrors Kmv.fromBytes)
+    val capacityL = bb.getLong()
+    require(capacityL >= 1 && capacityL <= Int.MaxValue,
+      s"FrequentItems capacity $capacityL out of range")
+    val capacity = capacityL.toInt
     val s = new Summary(capacity)
     s.decremented = bb.getLong()
     s.total = bb.getLong()
-    val size = bb.getLong().toInt
-    require(size >= 0 && size <= capacity, s"FrequentItems size $size for capacity $capacity")
+    require(s.decremented >= 0 && s.total >= 0,
+      s"FrequentItems negative counters: decremented=${s.decremented} total=${s.total}")
+    val sizeL = bb.getLong()
+    require(sizeL >= 0 && sizeL <= capacity, s"FrequentItems size $sizeL for capacity $capacity")
+    val size = sizeL.toInt
     require(bytes.length == 40 + 16 * size, s"FrequentItems serialized size ${bytes.length}")
     var i = 0
     while (i < size) { s.counts.put(bb.getLong(), bb.getLong()); i += 1 }

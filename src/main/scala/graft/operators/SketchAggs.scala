@@ -417,8 +417,12 @@ object SketchAggs {
   final class HeavyHittersMergeAgg
       extends Aggregator[Array[Byte], FrequentItems.Summary, Array[Byte]] {
     override def zero: FrequentItems.Summary = null
+    // family convention (Bloom/KMV/KLL/TDigest merge aggs): empty inputs are
+    // skipped and an empty group finishes to Array.emptyByteArray, so chained
+    // merge levels (checkpoint-merge shape) never feed fromBytes a too-short
+    // payload
     override def reduce(buf: FrequentItems.Summary, bytes: Array[Byte]): FrequentItems.Summary = {
-      if (bytes == null) buf
+      if (bytes == null || bytes.isEmpty) buf
       else {
         val s = FrequentItems.fromBytes(bytes)
         if (buf == null) s else buf.mergeInPlace(s)
@@ -427,7 +431,7 @@ object SketchAggs {
     override def merge(b1: FrequentItems.Summary, b2: FrequentItems.Summary): FrequentItems.Summary =
       if (b1 == null) b2 else if (b2 == null) b1 else b1.mergeInPlace(b2)
     override def finish(buf: FrequentItems.Summary): Array[Byte] =
-      if (buf == null) null else FrequentItems.toBytes(buf)
+      if (buf == null) Array.emptyByteArray else FrequentItems.toBytes(buf)
     override def bufferEncoder: Encoder[FrequentItems.Summary] = Encoders.kryo[FrequentItems.Summary]
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }

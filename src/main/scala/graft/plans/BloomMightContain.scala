@@ -319,6 +319,8 @@ object GraftFunctions {
     (SketchReaders.KmvJaccardName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(jaccard = true) _),
     (SketchReaders.KmvIntersectName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(jaccard = false) _),
     (SketchReaders.KmvUnionName, classOf[KmvUnionExpr], SketchReaders.kmvUnionBuilder _),
+    (SketchReaders.HeavyHitterSummaryName, classOf[HeavyHitterSummaryExpr],
+      SketchReaders.heavyHitterSummaryBuilder _),
     (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _))
 
   /** Register every native expression (cheap, idempotent) — enough for the
@@ -366,21 +368,11 @@ object GraftFunctions {
       udaf(new KllBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_tdigest_merge",
       udaf(new TDigestBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
-    // readers over the serialized Misra-Gries summary: top-k entries (ties
-    // by key — deterministic), the one-sided error bound D, and total N.
-    // Per-group rows only, so a UDF boundary is immaterial here.
-    import org.apache.spark.sql.functions.udf
-    spark.udf.register("graft_heavyhitter_topk", udf { (b: Array[Byte], k: Int) =>
-      if (b == null) null else graft.core.FrequentItems.fromBytes(b).topK(k)
-    })
-    spark.udf.register("graft_heavyhitter_error", udf { (b: Array[Byte]) =>
-      if (b == null) null else java.lang.Long.valueOf(graft.core.FrequentItems.fromBytes(b).decremented)
-    })
-    spark.udf.register("graft_heavyhitter_total", udf { (b: Array[Byte]) =>
-      if (b == null) null else java.lang.Long.valueOf(graft.core.FrequentItems.fromBytes(b).total)
-    })
-    // graft_bloom_intersect/union + the estimate readers are native
-    // expressions (registered by registerExpressions above); no UDF path.
+    // The Misra-Gries read path is graft_heavyhitter_summary — a native
+    // struct-returning expression (registered by registerExpressions above),
+    // one deserialize per distinct sketch for topk + error + total together.
+    // graft_bloom_intersect/union + the estimate readers are likewise native
+    // expressions; no UDF readers remain anywhere in the family.
   }
 
   /** Column-API entry points (require `register(spark)` once per session). */

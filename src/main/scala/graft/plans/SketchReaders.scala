@@ -368,6 +368,60 @@ case class KmvUnionExpr(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** `graft_heavyhitter_summary(sketch)` ->
+  * `struct<topk: array<struct<key: bigint, est: bigint>>, error: bigint,
+  * total: bigint>` — the whole Misra-Gries summary in ONE native read
+  * (round-3 VERDICT #5: the former three scalar UDFs deserialized the same
+  * bytes three times per row and were the family's last UDF readers).
+  * `topk` lists every stored entry ordered by (est desc, key asc) —
+  * deterministic; `error` is the cumulative decrement D (one-sided bound:
+  * est <= true <= est + D, and any key with true > D is present); `total`
+  * is the inserted weight N. The decoded InternalRow is cached per distinct
+  * byte array and immutable, so handing the same instance to every row of a
+  * group is safe. */
+case class HeavyHitterSummaryExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = HeavyHitterSummaryExpr.schema
+  override def prettyName: String = "graft_heavyhitter_summary"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sketch argument must be BINARY, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cache =
+    new ReaderCache[org.apache.spark.sql.catalyst.InternalRow](bytes => {
+      val s = FrequentItems.fromBytes(bytes)
+      val entries = s.topK(s.capacity).map { case (k, c) =>
+        org.apache.spark.sql.catalyst.InternalRow(k, c)
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(entries.toArray),
+        s.decremented, s.total)
+    })
+
+  def summary(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = cache.get(bytes)
+
+  override def nullSafeEval(v: Any): Any = summary(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("hhSummary", this, classOf[HeavyHitterSummaryExpr].getName)
+    defineCodeGen(ctx, ev, b => s"$selfRef.summary($b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HeavyHitterSummaryExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("topk", ArrayType(StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("est", LongType, nullable = false))), containsNull = false), nullable = false),
+    StructField("error", LongType, nullable = false),
+    StructField("total", LongType, nullable = false)))
+}
+
 object SketchReaders {
 
   val HllEstimateName = "graft_hll_estimate"
@@ -381,6 +435,7 @@ object SketchReaders {
   val KmvJaccardName = "graft_kmv_jaccard"
   val KmvIntersectName = "graft_kmv_intersect"
   val KmvUnionName = "graft_kmv_union"
+  val HeavyHitterSummaryName = "graft_heavyhitter_summary"
 
   // optional-key literal parsing shared with the other builders
   private def keyLit(e: Expression): Option[Long] = GraftFunctions.keyLit(e)
@@ -435,6 +490,11 @@ object SketchReaders {
     case _ => throw new IllegalArgumentException(s"$KmvUnionName expects (a BINARY, b BINARY)")
   }
 
+  private[plans] def heavyHitterSummaryBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => HeavyHitterSummaryExpr(s)
+    case _ => throw new IllegalArgumentException(s"$HeavyHitterSummaryName expects (sketch BINARY)")
+  }
+
   private[plans] def rankBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, x) => RankReadExpr(s, asDouble(x), isKll)
     case _ => throw new IllegalArgumentException(
@@ -456,4 +516,5 @@ object SketchReaders {
   def kmvJaccard(a: Column, b: Column): Column = call_function(KmvJaccardName, a, b)
   def kmvIntersect(a: Column, b: Column): Column = call_function(KmvIntersectName, a, b)
   def kmvUnion(a: Column, b: Column): Column = call_function(KmvUnionName, a, b)
+  def heavyHitterSummary(sketch: Column): Column = call_function(HeavyHitterSummaryName, sketch)
 }

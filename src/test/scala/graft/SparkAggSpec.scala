@@ -237,13 +237,22 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.total === 20000L)
     assert(s.topK(1).head._1 === 7L)
     assert(s.decremented * 64 <= s.total)
-    // pure-SQL read path
+    // pure-SQL read path: the native struct-returning summary reader
     val r = spark.sql(
-      """SELECT graft_heavyhitter_topk(sk, 1)[0].`_1` AS top_key,
-        |       graft_heavyhitter_error(sk) AS d, graft_heavyhitter_total(sk) AS n
+      """SELECT graft_heavyhitter_summary(sk).topk[0].key AS top_key,
+        |       graft_heavyhitter_summary(sk).error AS d,
+        |       graft_heavyhitter_summary(sk).total AS n
         |FROM (SELECT graft_heavyhitter(key) AS sk FROM hh_in)""".stripMargin).head()
     assert(r.getLong(0) === 7L)
     assert(r.getLong(1) === s.decremented && r.getLong(2) === 20000L)
+    // the full struct matches the core decode: every stored entry, est-desc
+    val full = spark.sql(
+      """SELECT graft_heavyhitter_summary(sk) AS s
+        |FROM (SELECT graft_heavyhitter(key) AS sk FROM hh_in)""".stripMargin).head()
+      .getStruct(0)
+    val topk = full.getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.length === s.size)
+    assert(topk.map(e => (e.getLong(0), e.getLong(1))) === s.topK(s.capacity))
   }
 
   test("HeavyHittersMergeAgg: merging serialized per-group summaries keeps every guarantee") {
@@ -270,6 +279,42 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     exact.foreach { case (k, t) =>
       if (t > s.decremented) assert(s.contains(k), s"heavy $k lost in serialized merge")
     }
+  }
+
+  test("HeavyHittersMergeAgg: empty payloads chain through merge levels (family convention)") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // ADVICE r3: a chained merge level can see Array.emptyByteArray (the
+    // output of a merge over an empty group — the checkpoint-merge shape);
+    // it must be SKIPPED, not fed to fromBytes (which requires >= 40 bytes)
+    Seq(("a", 1L), ("a", 1L), ("b", 7L)).toDF("g", "key")
+      .createOrReplaceTempView("hhm_empty_in")
+    // level-2 merge over ZERO inputs finishes to the empty payload, not null
+    val emptyOut = spark.sql(
+      """SELECT graft_heavyhitter_merge(sk) FROM
+        |(SELECT graft_heavyhitter(key) AS sk FROM hhm_empty_in WHERE key < 0 GROUP BY g)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    assert(emptyOut != null && emptyOut.isEmpty,
+      "merge over an empty group must finish to Array.emptyByteArray")
+    // level-3 merge over real summaries PLUS an empty shard skips the empty
+    val merged = spark.sql(
+      """SELECT graft_heavyhitter_merge(sk) FROM (
+        |  SELECT graft_heavyhitter(key) AS sk FROM hhm_empty_in GROUP BY g
+        |  UNION ALL SELECT CAST(X'' AS BINARY) AS sk
+        |)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    val s = graft.core.FrequentItems.fromBytes(merged)
+    assert(s.total === 3L && s.estimate(1L) === 2L && s.estimate(7L) === 1L)
+  }
+
+  test("runtime-filter queries release their persisted build side (no cache growth)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    SketchQueries.bloomPrefilterSemijoin(spark, "/root/testdata/sf0.001").count()
+    SketchQueries.bloomJoinLineitem(spark, "/root/testdata/sf0.001").count()
+    SketchQueries.bloomPrefilterSemijoin(spark, "/root/testdata/sf0.001").count()
+    SketchQueries.bloomJoinLineitem(spark, "/root/testdata/sf0.001").count()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "repeated invocations must not accumulate persisted RDDs")
   }
 
   test("KMV agg over Spark partitions: retained bottom-k identical to serial build, any parallelism") {

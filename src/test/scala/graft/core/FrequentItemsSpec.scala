@@ -77,6 +77,18 @@ class FrequentItemsSpec extends AnyFunSuite {
     // truncation rejected
     intercept[IllegalArgumentException](FrequentItems.fromBytes(bytes.take(bytes.length - 1)))
     intercept[IllegalArgumentException](FrequentItems.fromBytes(bytes.take(16)))
+    // corrupt Long header fields rejected BEFORE Int narrowing (a capacity
+    // of 2^32+16 must not silently truncate to 16), negatives rejected too
+    def withHeader(field: Int, v: Long): Array[Byte] = {
+      val b = bytes.clone()
+      java.nio.ByteBuffer.wrap(b).putLong(field * 8, v)
+      b
+    }
+    intercept[IllegalArgumentException](FrequentItems.fromBytes(withHeader(1, (1L << 32) + 32L)))
+    intercept[IllegalArgumentException](FrequentItems.fromBytes(withHeader(1, 0L)))
+    intercept[IllegalArgumentException](FrequentItems.fromBytes(withHeader(2, -1L)))
+    intercept[IllegalArgumentException](FrequentItems.fromBytes(withHeader(3, -5L)))
+    intercept[IllegalArgumentException](FrequentItems.fromBytes(withHeader(4, (1L << 33) + s.size)))
   }
 
   test("a true heavy hitter (> N/cap mass) always survives with a tight estimate") {

@@ -220,6 +220,35 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       graft_bloom_union(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) AS g""".stripMargin)
       .head()
     (0 until 7).foreach(i => assert(r.isNullAt(i), s"column $i must be null"))
+    assert(spark.sql("SELECT graft_heavyhitter_summary(CAST(NULL AS BINARY))").head().isNullAt(0))
+  }
+
+  test("graft_heavyhitter_summary: one native struct read, codegen, analysis-time type check") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val s = new graft.core.FrequentItems.Summary(8)
+    (0 until 100).foreach(i => s.add((i % 5).toLong))
+    val bytes = graft.core.FrequentItems.toBytes(s)
+    // struct contents match the core decode
+    val got = Seq(bytes).toDF("sk")
+      .select(expr("graft_heavyhitter_summary(sk)").as("s"))
+      .select(col("s.error"), col("s.total"), col("s.topk"))
+      .head()
+    assert(got.getLong(0) === s.decremented && got.getLong(1) === 100L)
+    assert(got.getSeq[org.apache.spark.sql.Row](2).map(e => (e.getLong(0), e.getLong(1)))
+      === s.topK(s.capacity))
+    // participates in whole-stage codegen (repartition keeps the optimizer
+    // from folding the whole local relation on the driver)
+    val dfCg = Seq(bytes, bytes).toDF("sk").repartition(2)
+      .select(expr("graft_heavyhitter_summary(sk).total").as("n"))
+    assert(dfCg.collect().map(_.getLong(0)).toSeq === Seq(100L, 100L))
+    assert(insideCodegen(dfCg, "graft_heavyhitter_summary"),
+      s"summary reader must fuse into WholeStageCodegen:\n${dfCg.queryExecution.executedPlan}")
+    // non-binary argument is an analysis-time failure
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_heavyhitter_summary(42)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("binary"), s"unexpected: ${ex.getMessage}")
   }
 
   test("cross-type foldable probe: rejected at ANALYSIS, codegen path never throws") {
