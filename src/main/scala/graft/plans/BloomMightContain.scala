@@ -321,7 +321,8 @@ object GraftFunctions {
     (SketchReaders.KmvUnionName, classOf[KmvUnionExpr], SketchReaders.kmvUnionBuilder _),
     (SketchReaders.HeavyHitterSummaryName, classOf[HeavyHitterSummaryExpr],
       SketchReaders.heavyHitterSummaryBuilder _),
-    (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _))
+    (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _),
+    (VectorFunctions.SrpBandsName, classOf[SrpBandsExpr], VectorFunctions.srpBandsBuilder _))
 
   /** Register every native expression (cheap, idempotent) — enough for the
     * Column-API entry points; `register` layers the SQL UDAF surface on top. */

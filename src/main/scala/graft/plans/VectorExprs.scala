@@ -70,15 +70,122 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_srp_bands(emb, b, chunks)` -> `array<int>` — native codegen
+  * signed-random-projection banding (Charikar sign bits split into LSH band
+  * keys), the per-row kernel of `Similarity.srpNearDups`/`srpAnnRecall`.
+  *
+  * Replaces the last Scala UDF in a per-row scale path (round-3 VERDICT
+  * #8): the UDF paid one UnsafeArrayData -> Array[Float] encoder copy per
+  * row before the b x dim dot products; this expression reads the
+  * UnsafeArrayData in place inside whole-stage codegen, exactly like
+  * [[CosineSimExpr]]. Semantics mirror `Similarity.srpBitsWith`: the
+  * deterministic ±1 hyperplanes come from `Similarity.planeMatrix` (SipHash
+  * over (plane, dim) — identical bits to the UDF path, tested), the dot
+  * runs over the common prefix, null elements count 0.0, `dot > 0` sets the
+  * bit. The plane matrix is cached per expression instance and rebuilt only
+  * if a longer embedding appears (one instance per task — Spark's
+  * per-task expression deserialization — so the mutable cache is
+  * single-threaded by construction). */
+case class SrpBandsExpr(child: Expression, b: Int, chunks: Int) extends UnaryExpression {
+
+  require(b >= 1 && b <= 64, s"graft_srp_bands: b must be in [1, 64], got $b")
+  require(chunks >= 1 && chunks <= b && b % chunks == 0,
+    s"graft_srp_bands: chunks ($chunks) must divide b ($b)")
+  private val bitsPerChunk = b / chunks
+  require(bitsPerChunk <= 31, s"graft_srp_bands: bits per chunk ($bitsPerChunk) must fit an Int key")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_srp_bands"
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    elemType(child) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float>/array<double> embedding, got ${child.dataType.simpleString}")
+    }
+
+  private lazy val childIsFloat: Boolean = elemType(child).contains(FloatType)
+
+  @transient private var planes: Array[Array[Double]] = _
+
+  def bands(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (planes == null || planes(0).length < n)
+      planes = graft.operators.Similarity.planeMatrix(b, n)
+    // copy the elements ONCE into a primitive array, then run the b dot
+    // products as tight primitive loops: unlike the one-pass cosine kernel,
+    // this kernel reads every element b times, so per-element ArrayData
+    // getter calls in the inner loop cost ~2x the single up-front copy
+    // (measured in tools.SrpProbe — the copy-once shape beats the UDF,
+    // the getter-in-loop shape lost to it)
+    val isFloat = childIsFloat
+    val v = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      v(j) = if (a.isNullAt(j)) 0.0 else if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      j += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < b) {
+      val row = planes(i)
+      val m = math.min(n, row.length)
+      var dot = 0.0
+      var k = 0
+      while (k < m) { dot += v(k) * row(k); k += 1 }
+      if (dot > 0) bits |= 1L << i
+      i += 1
+    }
+    val out = new Array[Int](chunks)
+    val mask = (1L << bitsPerChunk) - 1
+    var c = 0
+    while (c < chunks) { out(c) = ((bits >>> (c * bitsPerChunk)) & mask).toInt; c += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = bands(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("srpBands", this, classOf[SrpBandsExpr].getName)
+    defineCodeGen(ctx, ev, a => s"$selfRef.bands($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   val CosineSimName = "graft_cosine_sim"
+  val SrpBandsName = "graft_srp_bands"
 
   private[plans] def cosineBuilder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(a, b) => CosineSimExpr(a, b)
     case _ => throw new IllegalArgumentException(s"$CosineSimName expects (a ARRAY, b ARRAY)")
   }
 
+  private def intLit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case Literal(v: Long, LongType) => Some(v.toInt)
+    case _ => None
+  }
+
+  private[plans] def srpBandsBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(emb, bE, cE) if intLit(bE).isDefined && intLit(cE).isDefined =>
+      SrpBandsExpr(emb, intLit(bE).get, intLit(cE).get)
+    case _ => throw new IllegalArgumentException(
+      s"$SrpBandsName expects (emb ARRAY, b INT literal, chunks INT literal)")
+  }
+
   def cosineSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(CosineSimName, a, b)
+
+  def srpBands(emb: org.apache.spark.sql.Column, b: Int, chunks: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(SrpBandsName, emb,
+      org.apache.spark.sql.functions.lit(b), org.apache.spark.sql.functions.lit(chunks))
 }

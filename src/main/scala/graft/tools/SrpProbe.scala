@@ -52,6 +52,35 @@ object SrpProbe {
         println("  pairs: " + Similarity.srpNearDups(emb, "vec_id", "embedding", 32, 8, 0.6).count()))
       banded.unpersist(); cands.unpersist()
     }
+
+    // ---- banding-kernel head-to-head at scale: SrpChunker UDF vs the native
+    // graft_srp_bands expression (round-3 VERDICT #8: "measure first").
+    // The sf embedding fixtures are thousands of rows — far too small to see
+    // the per-row encoder-copy cost — so this phase synthesizes
+    // SPARK_SRP_PROBE_VECS (default 2M) dim-64 vectors deterministically.
+    val nVecs = sys.env.getOrElse("SPARK_SRP_PROBE_VECS", "2000000").toLong
+    val dim = 64
+    val genUdf = udf { (id: Long) =>
+      Array.tabulate(dim) { j =>
+        val h = graft.core.SipHash.hashLong(0x5eedL, id, j.toLong)
+        ((h & 0xffff).toFloat / 0xffff - 0.5f)
+      }
+    }
+    val big = spark.range(0, nVecs, 1, 32)
+      .select(col("id"), genUdf(col("id")).as("emb"))
+      .persist()
+    big.count() // materialize the input once so both paths read cached rows
+    val chunkUdf = udf(new Similarity.SrpChunkerPublic(64, 8, 8))
+    def agg(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(element_at(col("bands"), 1).cast("long"))).head().getLong(0)
+    for (round <- 1 to 3) {
+      println(s"--- banding kernel round $round ($nVecs vecs, dim $dim, b=64, chunks=8) ---")
+      val u = time("udf banding")(agg(big.select(chunkUdf(col("emb")).as("bands"))))
+      val n = time("native banding")(agg(
+        big.select(graft.plans.VectorFunctions.srpBands(col("emb"), 64, 8).as("bands"))))
+      require(u == n, s"udf/native band checksum mismatch: $u vs $n")
+    }
+    big.unpersist()
     spark.stop()
   }
 }

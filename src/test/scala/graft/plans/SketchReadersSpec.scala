@@ -223,6 +223,42 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT graft_heavyhitter_summary(CAST(NULL AS BINARY))").head().isNullAt(0))
   }
 
+  test("graft_srp_bands: bit-identical to the SrpChunker UDF, codegen, analysis-time checks") {
+    import spark.implicits._
+    GraftFunctions.registerExpressions(spark)
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "emb").repartition(3)
+    val udfBand = udf(new graft.operators.Similarity.SrpChunkerPublic(64, 8, 8))
+    val both = df.select(col("id"),
+      udfBand(col("emb")).as("u"),
+      graft.plans.VectorFunctions.srpBands(col("emb"), 64, 8).as("n"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"band mismatch for id ${r.getLong(0)}")
+    }
+    // also bit-identical to the local reference bits
+    val planes = graft.operators.Similarity.planeMatrix(64, 64)
+    val byId = vecs.toMap
+    both.collect().take(20).foreach { r =>
+      val bits = graft.operators.Similarity.srpBitsWith(byId(r.getLong(0)), planes)
+      val expect = (0 until 8).map(c => ((bits >>> (c * 8)) & 0xff).toInt)
+      assert(r.getSeq[Int](2) === expect)
+    }
+    // participates in whole-stage codegen
+    val dfCg = df.select(
+      graft.plans.VectorFunctions.srpBands(col("emb"), 64, 8).getItem(0).as("k"))
+    dfCg.collect()
+    assert(insideCodegen(dfCg, "graft_srp_bands"),
+      s"srp banding must fuse into WholeStageCodegen:\n${dfCg.queryExecution.executedPlan}")
+    // non-array embedding and non-literal band parameters fail at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_srp_bands(42, 64, 8)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_srp_bands(array(CAST(1.0 AS FLOAT)), id, 8) FROM range(1)").collect()
+    }
+  }
+
   test("graft_heavyhitter_summary: one native struct read, codegen, analysis-time type check") {
     import spark.implicits._
     GraftFunctions.register(spark)
