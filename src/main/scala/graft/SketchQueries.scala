@@ -245,6 +245,7 @@ object SketchQueries {
         SketchReaders.kmvEstimate(col("sb.sk")).as("est_b"),
         SketchReaders.kmvJaccard(col("sa.sk"), col("sb.sk")).as("est_j"),
         SketchReaders.kmvIntersect(col("sa.sk"), col("sb.sk")).as("est_inter"),
+        SketchReaders.kmvDifference(col("sa.sk"), col("sb.sk")).as("est_diff"),
         // graft_kmv_estimate(graft_kmv_union(a, b)): union cardinality in pure
         // composed SQL scalars (same capacity, and cross-capacity fold-down)
         SketchReaders.kmvEstimate(SketchReaders.kmvUnion(col("sa.sk"), col("sb.sk")))
@@ -279,7 +280,17 @@ object SketchQueries {
       (abs(col("est_union") - unionExact) <= unionExact * lit(4 * se) + lit(3.0))
         .as("pairwise_union_within_bound"),
       (abs(col("est_union_cc") - unionExact) <= unionExact * lit(4 * se2) + lit(3.0))
-        .as("crosscap_union_within_bound"))
+        .as("crosscap_union_within_bound"),
+      // difference |A \ B|: ρ_diff over the union sample, same error shape
+      // as the intersection estimate (Beyer et al. §5)
+      locally {
+        val exactDiff = col("nd_a") - col("exact_inter")
+        val rhoD = exactDiff / unionExact
+        val sigmaD = sqrt(rhoD * (lit(1.0) - rhoD) / lit(kmvK.toDouble))
+        (abs(col("est_diff") - exactDiff) <=
+          lit(6.0) * (unionExact * sigmaD + rhoD * unionExact * lit(se)) + lit(5.0))
+          .as("diff_within_bound")
+      })
       .orderBy(col("status_a"), col("status_b"))
   }
 
@@ -623,6 +634,56 @@ object SketchQueries {
     Tokens.table(spark, dir)
       .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
       .orderBy(col("doc_id"))
+
+  /** Bottom-k uniform sample under the driver gate: a mergeable,
+    * DETERMINISTIC sample of k distinct doc_ids per source
+    * ([[graft.core.BottomK]]) — the training-pipeline "inspect k random
+    * docs per source" op without the full-shuffle nondeterministic
+    * `ORDER BY rand()` window. Emitted booleans (all exactly checkable,
+    * hence the constant-true DuckDB oracle):
+    *  1. size_ok — sample size == min(k, distinct docs);
+    *  2. members_ok — every sampled id really is a doc of that source;
+    *  3. partition_invariant — the sample bytes are identical when the
+    *     input is first repartitioned by doc_id (merge-order invariance,
+    *     the determinism the `rand()` formulation cannot give);
+    *  4. merge_matches_direct — per-shard partials folded through the
+    *     serialized `BottomKMergeAgg` (checkpoint-merge shape) are
+    *     byte-identical to the direct build.
+    * At 100 TB: one partial-aggregated groupBy; the shuffle carries one
+    * <= k-entry summary per (partition, source). */
+  def sampleBottomK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
+    val k = 32
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"))
+    val aggU = udaf(new BottomKLongAgg(K0, K1, k), ExpressionEncoder[Long]())
+    val mergeU = udaf(new BottomKMergeAgg(K0, K1), binaryEnc)
+    val direct = docs.groupBy(col("source")).agg(aggU(col("doc_id")).as("sk"))
+    val repart = docs.repartition(7, col("doc_id"))
+      .groupBy(col("source")).agg(aggU(col("doc_id")).as("sk_repart"))
+    val twoLevel = docs
+      .groupBy(col("source"), pmod(col("doc_id"), lit(5L)).as("shard"))
+      .agg(aggU(col("doc_id")).as("partial"))
+      .groupBy(col("source")).agg(mergeU(col("partial")).as("sk_merged"))
+    val exact = docs.groupBy(col("source")).agg(countDistinct(col("doc_id")).as("nd"))
+    val withVals = direct.select(col("source"), col("sk"),
+      SketchReaders.sampleValues(col("sk")).as("vals"))
+    val nonMembers = withVals
+      .select(col("source"), explode(col("vals")).as("doc_id"))
+      .join(docs, Seq("source", "doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_bad"))
+    withVals
+      .join(exact, "source")
+      .join(repart, "source")
+      .join(twoLevel, "source")
+      .join(nonMembers, Seq("source"), "left")
+      .select(col("source"),
+        (size(col("vals")) === least(lit(k), col("nd"))).as("size_ok"),
+        (coalesce(col("n_bad"), lit(0L)) === 0L).as("members_ok"),
+        (col("sk") === col("sk_repart")).as("partition_invariant"),
+        (col("sk") === col("sk_merged")).as("merge_matches_direct"))
+      .orderBy(col("source"))
+  }
 
   /** Exact dedup: distinct texts per source (hash-groupBy dedup baseline). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =

@@ -51,6 +51,7 @@ object SparkEntry {
     // training-pipeline text ops (exact)
     "q_token_count_exact" -> (SketchQueries.tokenCountExact _),
     "q_dedup_exact" -> (SketchQueries.dedupExact _),
+    "q_sample_bottomk" -> (SketchQueries.sampleBottomK _),
     // dedup family
     "q_fingerprint_dedup" -> (PipelineQueries.fingerprintDedup _),
     "q_exact_dup_pairs" -> (PipelineQueries.exactDupPairs _),
@@ -128,7 +129,7 @@ object SparkEntry {
         ("SELECT a.s AS status_a, b.s AS status_b, true AS distinct_within_bound, " +
           "true AS inter_within_bound, true AS jaccard_within_bound, " +
           "true AS merged_union_within_bound, true AS pairwise_union_within_bound, " +
-          "true AS crosscap_union_within_bound " +
+          "true AS crosscap_union_within_bound, true AS diff_within_bound " +
           "FROM (SELECT DISTINCT o_orderstatus AS s FROM orders) a " +
           "JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders) b ON a.s < b.s " +
           "ORDER BY 1, 2"),
@@ -144,6 +145,12 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id"),
       "q_dedup_exact" ->
         "SELECT source, count(DISTINCT text) AS n_uniq FROM documents GROUP BY source ORDER BY source",
+      // bottom-k sample gate: every emitted boolean is an exact property
+      // (size, membership, partition-invariance, serialized-merge identity)
+      "q_sample_bottomk" ->
+        ("SELECT source, true AS size_ok, true AS members_ok, " +
+          "true AS partition_invariant, true AS merge_matches_direct " +
+          "FROM documents GROUP BY source ORDER BY source"),
       // the SAME regex evaluates in both engines (pattern restricted to the
       // Java-regex ∩ RE2 dialect; see TextPipeline.BpeIshPattern)
       "q_token_count_regex" ->

@@ -120,6 +120,24 @@ object Kmv {
     (j, j * estimate(u, uSize))
   }
 
+  /** Set-DIFFERENCE estimate |A \ B| — completes the multiset algebra of
+    * Beyer et al. §5 next to union/intersection/Jaccard: over the bottom-k
+    * union sample K∪, ρ_diff = |{h ∈ K∪ : h ∈ A ∧ h ∉ B}| / |K∪| estimates
+    * |A \ B| / |A ∪ B|, so ρ_diff · D̂(∪) estimates |A \ B|. NOT symmetric
+    * (difference isn't); both inputs below saturation ⇒ exact. */
+  def difference(a: Array[Long], aSize: Int, b: Array[Long], bSize: Int): Double = {
+    val (u, uSize) = merge(a, aSize, b, bSize)
+    if (uSize == 0) return 0.0
+    var only = 0
+    var i = 0
+    while (i < uSize) {
+      val h = u(i)
+      if (search(a, aSize, h) >= 0 && search(b, bSize, h) < 0) only += 1
+      i += 1
+    }
+    (only.toDouble / uSize.toDouble) * estimate(u, uSize)
+  }
+
   // --- serialization: [version, typeTag, keyHash, k, size] BE header + hashes ---
   final val SerialVersion = 1L
 

@@ -527,4 +527,73 @@ object SketchAggs {
 
   /** Decoded KMV merge buffer (`hashes == null` = empty). */
   final case class KmvMergeBuf(hashes: Array[Long], size: Int, typeTag: Long)
+
+  // ------------------------------------------------- bottom-k value sample
+
+  /** Bottom-k sample buffer: parallel (hash, value) arrays + valid prefix
+    * (plain arrays — native encoder, same rationale as [[KmvBuf]]). */
+  final case class BottomKBuf(hashes: Array[Long], values: Array[Long], size: Int)
+
+  /** Mergeable uniform sample of k distinct LONG values per group (see
+    * [[graft.core.BottomK]] — deterministic, sampling without replacement;
+    * the shuffle carries one <= k-entry summary per (partition, group)
+    * instead of every row). */
+  final class BottomKLongAgg(k0: Long, k1: Long, k: Int)
+      extends Aggregator[Long, BottomKBuf, Array[Byte]] {
+    override def zero: BottomKBuf = {
+      val (h, v) = BottomK.emptyBuffers(k)
+      BottomKBuf(h, v, 0)
+    }
+    override def reduce(buf: BottomKBuf, x: Long): BottomKBuf = {
+      val s = BottomK.add(buf.hashes, buf.values, buf.size, SipHash.hashLong(k0, k1, x), x)
+      if (s == buf.size) buf else BottomKBuf(buf.hashes, buf.values, s)
+    }
+    override def merge(b1: BottomKBuf, b2: BottomKBuf): BottomKBuf = {
+      val (h, v, s) = BottomK.merge(b1.hashes, b1.values, b1.size, b2.hashes, b2.values, b2.size)
+      BottomKBuf(h, v, s)
+    }
+    override def finish(buf: BottomKBuf): Array[Byte] =
+      BottomK.toBytes(buf.hashes, buf.values, buf.size,
+        BlockedBloom.TypeTag.Long, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[BottomKBuf] = ExpressionEncoder[BottomKBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
+  /** Decoded bottom-k merge buffer (`hashes == null` = empty). */
+  final case class BottomKMergeBuf(
+      hashes: Array[Long], values: Array[Long], size: Int, typeTag: Long)
+
+  /** Merges already-serialized bottom-k samples (second-level aggregation,
+    * the checkpoint-merge shape; family conventions: empty inputs skipped,
+    * empty group finishes to an empty array, cross-capacity folds down,
+    * key and element type enforced). */
+  final class BottomKMergeAgg(k0: Long, k1: Long)
+      extends Aggregator[Array[Byte], BottomKMergeBuf, Array[Byte]] {
+    override def zero: BottomKMergeBuf = BottomKMergeBuf(null, null, 0, 0L)
+
+    private def decode(x: Array[Byte]): BottomKMergeBuf = {
+      val (h, v, s, tag, storedKeyHash) = BottomK.fromBytes(x)
+      require(storedKeyHash == kmvKeyHash(k0, k1),
+        "BottomK merge: sample was built with a different SipHash key")
+      BottomKMergeBuf(h, v, s, tag)
+    }
+
+    private def mergeBufs(a: BottomKMergeBuf, b: BottomKMergeBuf): BottomKMergeBuf = {
+      if (a.hashes == null) return b
+      if (b.hashes == null) return a
+      require(a.typeTag == b.typeTag,
+        s"BottomK merge: element type mismatch ${a.typeTag} vs ${b.typeTag}")
+      val (h, v, s) = BottomK.merge(a.hashes, a.values, a.size, b.hashes, b.values, b.size)
+      BottomKMergeBuf(h, v, s, a.typeTag)
+    }
+
+    override def reduce(buf: BottomKMergeBuf, x: Array[Byte]): BottomKMergeBuf =
+      if (x == null || x.isEmpty) buf else mergeBufs(buf, decode(x))
+    override def merge(b1: BottomKMergeBuf, b2: BottomKMergeBuf): BottomKMergeBuf = mergeBufs(b1, b2)
+    override def finish(buf: BottomKMergeBuf): Array[Byte] =
+      if (buf.hashes == null) Array.emptyByteArray
+      else BottomK.toBytes(buf.hashes, buf.values, buf.size, buf.typeTag, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[BottomKMergeBuf] = ExpressionEncoder[BottomKMergeBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
 }

@@ -316,11 +316,14 @@ object GraftFunctions {
     (SketchReaders.KllRankName, classOf[RankReadExpr], SketchReaders.rankBuilder(isKll = true) _),
     (SketchReaders.TDigestCdfName, classOf[RankReadExpr], SketchReaders.rankBuilder(isKll = false) _),
     (SketchReaders.KmvEstimateName, classOf[KmvEstimateExpr], SketchReaders.kmvEstimateBuilder _),
-    (SketchReaders.KmvJaccardName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(jaccard = true) _),
-    (SketchReaders.KmvIntersectName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(jaccard = false) _),
+    (SketchReaders.KmvJaccardName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(KmvPairExpr.Jaccard) _),
+    (SketchReaders.KmvIntersectName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(KmvPairExpr.Intersect) _),
+    (SketchReaders.KmvDifferenceName, classOf[KmvPairExpr], SketchReaders.kmvPairBuilder(KmvPairExpr.Difference) _),
     (SketchReaders.KmvUnionName, classOf[KmvUnionExpr], SketchReaders.kmvUnionBuilder _),
     (SketchReaders.HeavyHitterSummaryName, classOf[HeavyHitterSummaryExpr],
       SketchReaders.heavyHitterSummaryBuilder _),
+    (SketchReaders.SampleValuesName, classOf[BottomKValuesExpr],
+      SketchReaders.sampleValuesBuilder _),
     (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _),
     (VectorFunctions.SrpBandsName, classOf[SrpBandsExpr], VectorFunctions.srpBandsBuilder _))
 
@@ -361,6 +364,10 @@ object GraftFunctions {
       udaf(new KmvLongAgg(Keys.DefaultK0, Keys.DefaultK1, 256), ExpressionEncoder[Long]()))
     spark.udf.register("graft_kmv_merge",
       udaf(new KmvMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_sample_bottomk",
+      udaf(new BottomKLongAgg(Keys.DefaultK0, Keys.DefaultK1, 64), ExpressionEncoder[Long]()))
+    spark.udf.register("graft_sample_merge",
+      udaf(new BottomKMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_hll_merge",
       udaf(new graft.jobs.HllBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_cms_merge",

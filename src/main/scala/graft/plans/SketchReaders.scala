@@ -291,17 +291,23 @@ case class KmvEstimateExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `graft_kmv_jaccard(a, b)` / `graft_kmv_intersect(a, b)` -> double.
-  * The pairwise set-cardinality readers (Beyer et al. §5): Jaccard and
-  * distinct-intersection estimates from two KMV sketches built under the
-  * same key over the same element type (both enforced — cross-key or
-  * cross-type pairs estimate nothing meaningful and are rejected like the
-  * Bloom set ops reject mismatched filters). */
-case class KmvPairExpr(left: Expression, right: Expression, jaccard: Boolean)
+/** `graft_kmv_jaccard(a, b)` / `graft_kmv_intersect(a, b)` /
+  * `graft_kmv_difference(a, b)` -> double.
+  * The pairwise set-cardinality readers (Beyer et al. §5): Jaccard,
+  * distinct-intersection and distinct-difference (|A \ B|, asymmetric)
+  * estimates from two KMV sketches built under the same key over the same
+  * element type (both enforced — cross-key or cross-type pairs estimate
+  * nothing meaningful and are rejected like the Bloom set ops reject
+  * mismatched filters). */
+case class KmvPairExpr(left: Expression, right: Expression, op: KmvPairExpr.Op)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def prettyName: String = if (jaccard) "graft_kmv_jaccard" else "graft_kmv_intersect"
+  override def prettyName: String = op match {
+    case KmvPairExpr.Jaccard => "graft_kmv_jaccard"
+    case KmvPairExpr.Intersect => "graft_kmv_intersect"
+    case KmvPairExpr.Difference => "graft_kmv_difference"
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != BinaryType || right.dataType != BinaryType)
@@ -314,8 +320,13 @@ case class KmvPairExpr(left: Expression, right: Expression, jaccard: Boolean)
 
   def compute(a: Array[Byte], b: Array[Byte]): Double = {
     val (ka, kb) = LoadedKmv.loadPair(cacheL, cacheR, a, b, prettyName)
-    val (j, inter) = Kmv.jaccardAndIntersection(ka.hashes, ka.size, kb.hashes, kb.size)
-    if (jaccard) j else inter
+    op match {
+      case KmvPairExpr.Difference =>
+        Kmv.difference(ka.hashes, ka.size, kb.hashes, kb.size)
+      case _ =>
+        val (j, inter) = Kmv.jaccardAndIntersection(ka.hashes, ka.size, kb.hashes, kb.size)
+        if (op == KmvPairExpr.Jaccard) j else inter
+    }
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -328,6 +339,13 @@ case class KmvPairExpr(left: Expression, right: Expression, jaccard: Boolean)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object KmvPairExpr {
+  sealed trait Op extends Serializable
+  case object Jaccard extends Op
+  case object Intersect extends Op
+  case object Difference extends Op
 }
 
 /** `graft_kmv_union(a, b)` -> binary: the serialized bottom-k union — the
@@ -422,6 +440,40 @@ object HeavyHitterSummaryExpr {
     StructField("total", LongType, nullable = false)))
 }
 
+/** `graft_sample_values(sample)` -> `array<bigint>` — the sampled distinct
+  * values of a serialized bottom-k sample ([[graft.core.BottomK]]), in
+  * hash order (a uniform random permutation for a fixed SipHash key).
+  * Same cached-deserialize + codegen shape as the other native readers. */
+case class BottomKValuesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sample_values"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sample argument must be BINARY, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cache =
+    new ReaderCache[org.apache.spark.sql.catalyst.util.GenericArrayData](bytes => {
+      val (_, v, s, _, _) = BottomK.fromBytes(bytes)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v.take(s))
+    })
+
+  def values(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    cache.get(bytes)
+
+  override def nullSafeEval(v: Any): Any = values(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("bottomKValues", this, classOf[BottomKValuesExpr].getName)
+    defineCodeGen(ctx, ev, b => s"$selfRef.values($b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchReaders {
 
   val HllEstimateName = "graft_hll_estimate"
@@ -434,8 +486,10 @@ object SketchReaders {
   val KmvEstimateName = "graft_kmv_estimate"
   val KmvJaccardName = "graft_kmv_jaccard"
   val KmvIntersectName = "graft_kmv_intersect"
+  val KmvDifferenceName = "graft_kmv_difference"
   val KmvUnionName = "graft_kmv_union"
   val HeavyHitterSummaryName = "graft_heavyhitter_summary"
+  val SampleValuesName = "graft_sample_values"
 
   // optional-key literal parsing shared with the other builders
   private def keyLit(e: Expression): Option[Long] = GraftFunctions.keyLit(e)
@@ -479,10 +533,11 @@ object SketchReaders {
     case _ => throw new IllegalArgumentException(s"$KmvEstimateName expects (sketch BINARY)")
   }
 
-  private[plans] def kmvPairBuilder(jaccard: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
-    case Seq(a, b) => KmvPairExpr(a, b, jaccard)
+  private[plans] def kmvPairBuilder(op: KmvPairExpr.Op)(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => KmvPairExpr(a, b, op)
     case _ => throw new IllegalArgumentException(
-      s"${if (jaccard) KmvJaccardName else KmvIntersectName} expects (a BINARY, b BINARY)")
+      s"${KmvPairExpr(Literal(null, BinaryType), Literal(null, BinaryType), op).prettyName} " +
+        "expects (a BINARY, b BINARY)")
   }
 
   private[plans] def kmvUnionBuilder(exprs: Seq[Expression]): Expression = exprs match {
@@ -493,6 +548,11 @@ object SketchReaders {
   private[plans] def heavyHitterSummaryBuilder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s) => HeavyHitterSummaryExpr(s)
     case _ => throw new IllegalArgumentException(s"$HeavyHitterSummaryName expects (sketch BINARY)")
+  }
+
+  private[plans] def sampleValuesBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => BottomKValuesExpr(s)
+    case _ => throw new IllegalArgumentException(s"$SampleValuesName expects (sample BINARY)")
   }
 
   private[plans] def rankBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
@@ -515,6 +575,8 @@ object SketchReaders {
   def kmvEstimate(sketch: Column): Column = call_function(KmvEstimateName, sketch)
   def kmvJaccard(a: Column, b: Column): Column = call_function(KmvJaccardName, a, b)
   def kmvIntersect(a: Column, b: Column): Column = call_function(KmvIntersectName, a, b)
+  def kmvDifference(a: Column, b: Column): Column = call_function(KmvDifferenceName, a, b)
   def kmvUnion(a: Column, b: Column): Column = call_function(KmvUnionName, a, b)
   def heavyHitterSummary(sketch: Column): Column = call_function(HeavyHitterSummaryName, sketch)
+  def sampleValues(sample: Column): Column = call_function(SampleValuesName, sample)
 }

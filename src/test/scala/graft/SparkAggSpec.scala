@@ -307,6 +307,39 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.total === 3L && s.estimate(1L) === 2L && s.estimate(7L) === 1L)
   }
 
+  test("BottomK sample agg: distributed build byte-identical to serial, SQL surface reads back") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val elems = (0L until 5000L).map(i => i * 31L % 4801L)
+    // serial truth
+    val (sh, sv) = BottomK.emptyBuffers(64)
+    var ss = 0
+    elems.foreach(e => ss = BottomK.add(sh, sv, ss, SipHash.hashLong(K0, K1, e), e))
+    val serialBytes = BottomK.toBytes(sh, sv, ss, BlockedBloom.TypeTag.Long,
+      SipHash.hashLong(K0, K1, K0 ^ K1))
+    for (parts <- Seq(1, 3, 8)) {
+      val agg = udaf(new BottomKLongAgg(K0, K1, 64), ExpressionEncoder[Long]())
+      val bytes = elems.toDF("x").repartition(parts).agg(agg(col("x")))
+        .head().getAs[Array[Byte]](0)
+      assert(bytes.sameElements(serialBytes), s"BottomK at $parts partitions differs from serial")
+    }
+    // SQL surface: default-k agg + native values reader + serialized merge
+    elems.map(e => (s"s${e % 3}", e)).toDF("g", "x").createOrReplaceTempView("bk_in")
+    val direct = spark.sql(
+      "SELECT g, graft_sample_values(graft_sample_bottomk(x)) AS vals FROM bk_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(direct.values.forall(_.length === 64))
+    direct.foreach { case (g, vals) =>
+      assert(vals.forall(v => s"s${v % 3}" == g), s"sample of $g contains foreign values")
+    }
+    val merged = spark.sql(
+      """SELECT g, graft_sample_values(graft_sample_merge(p)) AS vals FROM
+        |(SELECT g, x % 5 AS shard, graft_sample_bottomk(x) AS p FROM bk_in GROUP BY g, x % 5)
+        |GROUP BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged === direct, "serialized two-level merge must reproduce the direct sample")
+  }
+
   test("runtime-filter queries release their persisted build side (no cache growth)") {
     val before = spark.sparkContext.getPersistentRDDs.size
     SketchQueries.bloomPrefilterSemijoin(spark, "/root/testdata/sf0.001").count()

@@ -1,0 +1,95 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bottom-k uniform value sample — exact sample below k, merge monoid
+  * (split ≡ single build, any split, any order), determinism, uniformity
+  * smoke, and serialization validation (family conventions). */
+class BottomKSpec extends AnyFunSuite {
+
+  val k0 = 0x5eedf00ddeadbeefL
+  val k1 = 0x0123456789abcdefL
+
+  private def build(k: Int, elems: Iterable[Long]): (Array[Long], Array[Long], Int) = {
+    val (h, v) = BottomK.emptyBuffers(k)
+    var s = 0
+    elems.foreach(e => s = BottomK.add(h, v, s, SipHash.hashLong(k0, k1, e), e))
+    (h, v, s)
+  }
+
+  test("below capacity the sample IS the distinct set; duplicates never grow it") {
+    val (h, v, s) = build(64, (1L to 40L) ++ (1L to 40L))
+    assert(s === 40)
+    assert(v.take(s).sorted.toSeq === (1L to 40L))
+    // hashes strictly ascending, values aligned with their hashes
+    (0 until s).foreach { i =>
+      assert(h(i) === SipHash.hashLong(k0, k1, v(i)), s"hash/value misaligned at $i")
+      if (i > 0) assert(java.lang.Long.compareUnsigned(h(i - 1), h(i)) < 0)
+    }
+  }
+
+  test("split-then-merge equals single build, any split point and order") {
+    val elems = (1L to 5000L).map(i => i * 37L % 4999L)
+    val (dh, dv, ds) = build(128, elems)
+    for (split <- Seq(1, 500, 2500, 4999)) {
+      val (ah, av, as) = build(128, elems.take(split))
+      val (bh, bv, bs) = build(128, elems.drop(split))
+      val (mh, mv, ms) = BottomK.merge(ah, av, as, bh, bv, bs)
+      assert(ms === ds, s"split $split size")
+      assert(mh.take(ms).sameElements(dh.take(ds)), s"split $split hashes")
+      assert(mv.take(ms).sameElements(dv.take(ds)), s"split $split values")
+      // commutativity
+      val (mh2, mv2, ms2) = BottomK.merge(bh, bv, bs, ah, av, as)
+      assert(ms2 === ms && mh2.take(ms).sameElements(mh.take(ms)) &&
+        mv2.take(ms).sameElements(mv.take(ms)))
+    }
+  }
+
+  test("cross-capacity merge folds down to the smaller k") {
+    val (ah, av, as) = build(256, 1L to 1000L)
+    val (bh, bv, bs) = build(64, 500L to 1500L)
+    val (mh, mv, ms) = BottomK.merge(ah, av, as, bh, bv, bs)
+    assert(mh.length === 64 && ms === 64)
+    // the folded sample equals a direct k=64 build over the union
+    val (dh, dv, ds) = build(64, (1L to 1000L) ++ (500L to 1500L))
+    assert(ms === ds && mh.take(ms).sameElements(dh.take(ds)) &&
+      mv.take(ms).sameElements(dv.take(ds)))
+  }
+
+  test("uniformity smoke: sampled values' mean is near the population mean") {
+    val n = 100000L
+    val k = 2048
+    val (_, v, s) = build(k, 1L to n)
+    assert(s === k)
+    val mean = v.take(s).map(_.toDouble).sum / s
+    // population mean (n+1)/2 = 50000.5; sigma of the sample mean ≈
+    // (n/sqrt(12)) / sqrt(k) ≈ 638 — allow 5 sigma
+    assert(math.abs(mean - (n + 1) / 2.0) <= 5 * (n / math.sqrt(12.0)) / math.sqrt(k.toDouble),
+      s"sample mean $mean suspiciously far from ${(n + 1) / 2.0}")
+  }
+
+  test("serialization roundtrips; corrupt headers and unsorted payloads rejected") {
+    val (h, v, s) = build(64, 1L to 200L)
+    val bytes = BottomK.toBytes(h, v, s, BlockedBloom.TypeTag.Long, 0xabcL)
+    val (h2, v2, s2, tag, keyHash) = BottomK.fromBytes(bytes)
+    assert(s2 === s && tag === BlockedBloom.TypeTag.Long && keyHash === 0xabcL)
+    assert(h2.take(s).sameElements(h.take(s)) && v2.take(s).sameElements(v.take(s)))
+    assert(BottomK.toBytes(h2, v2, s2, tag, keyHash).sameElements(bytes))
+    intercept[IllegalArgumentException](BottomK.fromBytes(bytes.take(bytes.length - 1)))
+    intercept[IllegalArgumentException](BottomK.fromBytes(bytes.take(16)))
+    def withHeader(field: Int, x: Long): Array[Byte] = {
+      val b = bytes.clone()
+      java.nio.ByteBuffer.wrap(b).putLong(field * 8, x)
+      b
+    }
+    intercept[IllegalArgumentException](BottomK.fromBytes(withHeader(0, 99L))) // version
+    intercept[IllegalArgumentException](BottomK.fromBytes(withHeader(3, (1L << 32) + 64L))) // k
+    intercept[IllegalArgumentException](BottomK.fromBytes(withHeader(4, -1L))) // size
+    // swap two hashes -> ascending-order invariant violated
+    val bad = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(bad)
+    val a0 = bb.getLong(40); val a1 = bb.getLong(48)
+    bb.putLong(40, a1); bb.putLong(48, a0)
+    intercept[IllegalArgumentException](BottomK.fromBytes(bad))
+  }
+}

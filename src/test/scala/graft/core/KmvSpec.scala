@@ -101,6 +101,33 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(inter - overlap) <= 0.15 * overlap, s"intersection $inter vs $overlap")
   }
 
+  test("difference exact below saturation; asymmetric; consistent with the algebra") {
+    val (a, as) = build(1024, 1 to 600)
+    val (b, bs) = build(1024, 401 to 1000)
+    assert(Kmv.difference(a, as, b, bs) === 400.0) // |A \ B| = 1..400
+    assert(Kmv.difference(b, bs, a, as) === 400.0) // |B \ A| = 601..1000
+    val (c, cs) = build(1024, 1 to 100)
+    assert(Kmv.difference(c, cs, a, as) === 0.0) // C ⊆ A
+    assert(Kmv.difference(a, as, c, cs) === 500.0)
+    // empty edge cases
+    val (e, es) = build(1024, Nil)
+    assert(Kmv.difference(e, es, a, as) === 0.0)
+    assert(Kmv.difference(a, as, e, es) === 600.0)
+  }
+
+  test("difference within bound at saturation; diff + intersection ≈ |A|") {
+    val n = 60000
+    val overlap = 20000
+    val (a, as) = build(1024, 1 to n)
+    val (b, bs) = build(1024, (n - overlap + 1) to (2 * n - overlap))
+    val d = Kmv.difference(a, as, b, bs)
+    val trueD = n - overlap
+    assert(math.abs(d - trueD) <= 0.15 * trueD, s"difference $d vs $trueD")
+    // algebra consistency on the SAME union sample: diff(A,B) + inter = est(A-side of union)
+    val (_, inter) = Kmv.jaccardAndIntersection(a, as, b, bs)
+    assert(math.abs((d + inter) - n) <= 0.15 * n, s"diff+inter ${d + inter} vs |A|=$n")
+  }
+
   test("serialization roundtrip preserves capacity, prefix, tag, key hash") {
     val (h, s) = build(256, 1 to 5000)
     val keyHash = SipHash.hashLong(k0, k1, k0 ^ k1)
