@@ -247,4 +247,45 @@ object StreamingSketch {
       .groupBy(window(col(tsCol), windowDuration), col("source"))
       .agg(kmvU(col("tokens")).as("kmv"))
   }
+
+  /** Per-(window, source) Misra-Gries heavy-hitter summary — "trending
+    * tokens per time window" at vocab ≫ summary width. Unlike the
+    * Bloom/HLL/CMS/KMV rows, the MG merge is order-DEPENDENT at the byte
+    * level (pruning depends on arrival order), so the streaming ≡ batch
+    * equivalence here is the GUARANTEE set, not byte identity: for the
+    * state-store-merged summary, est(x) <= true(x) <= est(x) + D, every
+    * key with true(x) > D is present, and D·capacity <= N hold no matter
+    * how micro-batches arrive (tested with out-of-order replays). */
+  def windowedHeavyHitters(
+      tokens: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      capacity: Int): DataFrame = {
+    val hhU = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
+    tokens
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col("source"), explode(col("tokens")).as("token"))
+      .groupBy(window(col(tsCol), windowDuration), col("source"))
+      .agg(hhU(col("token").cast("long")).as("hh"))
+  }
+
+  /** Per-(window, source) bottom-k uniform sample of distinct tokens
+    * ([[graft.core.BottomK]]). The retained sample is a pure function of
+    * the element SET — order-insensitive like KMV — so the state-store
+    * merge across micro-batches is BYTE-IDENTICAL to a serial build over
+    * the same window (tested): deterministic streaming sampling. */
+  def windowedSample(
+      tokens: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      k0: Long, k1: Long, k: Int): DataFrame = {
+    val bkU = udaf(new BottomKLongAgg(k0, k1, k), ExpressionEncoder[Long]())
+    tokens
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col("source"), explode(col("tokens")).as("token"))
+      .groupBy(window(col(tsCol), windowDuration), col("source"))
+      .agg(bkU(col("token").cast("long")).as("sample"))
+  }
 }

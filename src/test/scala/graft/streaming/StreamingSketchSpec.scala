@@ -147,6 +147,72 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("windowed heavy hitters keep MG guarantees under out-of-order micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val df = stream.toDF().toDF("ts", "source", "tokens")
+    val out = StreamingSketch.windowedHeavyHitters(df, "ts", "10 minutes", "5 minutes", capacity = 8)
+    val query = out.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_hh").start()
+    try {
+      // dominant key 7 plus a long tail, spread over out-of-order batches
+      val tail1 = (100 to 140).toArray
+      val tail2 = (141 to 180).toArray
+      stream.addData((ts(1), "a", Array.fill(30)(7) ++ tail1))
+      query.processAllAvailable()
+      stream.addData((ts(3), "a", tail2 ++ Array.fill(25)(7)), (ts(1), "a", Array(7, 7)))
+      query.processAllAvailable()
+      val bytes = spark.table("stream_hh")
+        .where(col("source") === "a").head().getAs[Array[Byte]]("hh")
+      val s = graft.core.FrequentItems.fromBytes(bytes)
+      val all = Array.fill(30)(7) ++ tail1 ++ tail2 ++ Array.fill(25)(7) ++ Array(7, 7)
+      val exact = all.groupBy(identity).map { case (k, v) => k.toLong -> v.length.toLong }
+      assert(s.total === all.length.toLong)
+      assert(s.decremented * s.capacity <= s.total)
+      s.entries.foreach { case (k, est) =>
+        val t = exact.getOrElse(k, 0L)
+        assert(est <= t && t <= est + s.decremented, s"streamed MG sandwich broken at $k")
+      }
+      // the dominant key (57 occurrences > any possible D = N/8) must survive and rank first
+      assert(s.contains(7L) && s.topK(1).head._1 === 7L)
+    } finally query.stop()
+  }
+
+  test("windowed bottom-k sample is byte-identical to a serial build (deterministic streaming sampling)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val df = stream.toDF().toDF("ts", "source", "tokens")
+    val out = StreamingSketch.windowedSample(
+      df, "ts", "10 minutes", "5 minutes", Keys.DefaultK0, Keys.DefaultK1, k = 8)
+    val query = out.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_bk").start()
+    try {
+      stream.addData((ts(1), "a", Array(1, 2, 3, 50, 51)), (ts(2), "a", Array(3, 4)))
+      query.processAllAvailable()
+      stream.addData((ts(3), "a", (20 to 45).toArray), (ts(1), "a", Array(1, 2)))
+      query.processAllAvailable()
+      val bytes = spark.table("stream_bk")
+        .where(col("source") === "a").head().getAs[Array[Byte]]("sample")
+      val allTokens = Seq(1, 2, 3, 50, 51, 3, 4) ++ (20 to 45) ++ Seq(1, 2)
+      val (sh, sv) = graft.core.BottomK.emptyBuffers(8)
+      var s = 0
+      allTokens.foreach { t =>
+        s = graft.core.BottomK.add(sh, sv, s,
+          graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, t.toLong), t.toLong)
+      }
+      val serialBytes = graft.core.BottomK.toBytes(sh, sv, s,
+        graft.core.BlockedBloom.TypeTag.Long,
+        graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, Keys.DefaultK0 ^ Keys.DefaultK1))
+      assert(java.util.Arrays.equals(bytes, serialBytes),
+        "streaming bottom-k sample differs from serial build")
+      // and the sampled values are genuinely a subset of the streamed tokens
+      val (_, v2, s2, _, _) = graft.core.BottomK.fromBytes(bytes)
+      assert(s2 === 8 && v2.take(s2).forall(x => allTokens.contains(x.toInt)))
+    } finally query.stop()
+  }
+
   test("append-mode replay driver query: exact counts over the surviving half only") {
     val out = StreamingSketch.replayBloomWindowsAppend(
       spark, "/root/testdata/sf0.001", BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 10), 12)
