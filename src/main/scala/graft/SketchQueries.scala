@@ -510,22 +510,32 @@ object SketchQueries {
     val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
     // persisted build side, released deterministically after the single-row
     // result materializes (round-3 VERDICT #3 — no per-invocation cache leak)
-    val buildSide = orders.where(col("o_orderstatus") === "P")
-      .select(col("o_orderkey")).persist()
+    val (result, buildSide) = bloomJoinLineitemLazy(spark, orders, lineitem)
     try {
-      val sketchBytes = buildSide
-        .agg(udaf(new BloomLongAgg(bloomCfg), ExpressionEncoder[Long]())(col("o_orderkey")))
-        .head().getAs[Array[Byte]](0)
-      val prefiltered = lineitem
-        .where(GraftFunctions.bloomMightContain(lit(sketchBytes), col("l_orderkey")))
-      val result = prefiltered
-        .join(buildSide.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
-        // quantities are integral doubles; cast BEFORE summing so both engines
-        // sum integers exactly (double-accumulation order is not portable)
-        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       val rows = result.collect() // bounded: exactly one row
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     } finally buildSide.unpersist()
+  }
+
+  /** The lazy plan behind [[bloomJoinLineitem]] plus its persisted build
+    * side (exposed so PlanCheck can capture the REAL distributed plan; the
+    * caller owns the unpersist). */
+  private[graft] def bloomJoinLineitemLazy(
+      spark: SparkSession, orders: DataFrame, lineitem: DataFrame): (DataFrame, DataFrame) = {
+    GraftFunctions.register(spark)
+    val buildSide = orders.where(col("o_orderstatus") === "P")
+      .select(col("o_orderkey")).persist()
+    val sketchBytes = buildSide
+      .agg(udaf(new BloomLongAgg(bloomCfg), ExpressionEncoder[Long]())(col("o_orderkey")))
+      .head().getAs[Array[Byte]](0)
+    val prefiltered = lineitem
+      .where(GraftFunctions.bloomMightContain(lit(sketchBytes), col("l_orderkey")))
+    val result = prefiltered
+      .join(buildSide.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+      // quantities are integral doubles; cast BEFORE summing so both engines
+      // sum integers exactly (double-accumulation order is not portable)
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+    (result, buildSide)
   }
 
   /** HLL distinct users per event type over the events stream table

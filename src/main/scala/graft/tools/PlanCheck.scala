@@ -29,7 +29,13 @@ object PlanCheck {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       show("srpNearDups(b=64, 8x8-bit)", graft.operators.Similarity.srpNearDups(
         emb, "vec_id", "embedding", b = 64, chunks = 8, threshold = 0.9))
-      show("bloomJoinLineitem", graft.SketchQueries.bloomJoinLineitem(spark, dir))
+      // the public query materializes + unpersists internally (cache-release
+      // gate), so capture the underlying distributed plan via the Lazy split
+      val (bjlPlan, bjlBuild) = graft.SketchQueries.bloomJoinLineitemLazy(spark,
+        spark.read.parquet(s"$dir/orders.parquet"),
+        spark.read.parquet(s"$dir/lineitem.parquet"))
+      show("bloomJoinLineitem (lazy inner plan)", bjlPlan)
+      bjlBuild.unpersist()
       val index = graft.operators.Similarity.ivfBuild(
         emb.where(col("vec_id") =!= 0), "vec_id", "embedding", numClusters = 16)
       val store = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_plancheck"
@@ -42,6 +48,9 @@ object PlanCheck {
     // round-3 additions: salted two-level build and the KMV estimate path
     show("saltedBuildEquiv", graft.SketchQueries.saltedBuildEquiv(spark, dir))
     show("kmvIntersectBound", graft.SketchQueries.kmvIntersectBound(spark, dir))
+    // round-4 addition: the bottom-k sample gate (partial-agg monoid +
+    // native sample reader + serialized merge level)
+    show("sampleBottomK", graft.SketchQueries.sampleBottomK(spark, dir))
     spark.stop()
   }
 }
