@@ -76,7 +76,11 @@ object SparkEntry {
     // append-mode watermark semantics: deterministic late-data drop
     "q_streaming_append_latedrop" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingSketch.replayBloomWindowsAppend(
-        s, dir, SketchQueries.bloomCfg, SketchQueries.hllP))
+        s, dir, SketchQueries.bloomCfg, SketchQueries.hllP)),
+    // windowed Misra-Gries trending tokens: exact MG guarantees per
+    // (event-time window, source) under the oracle
+    "q_streaming_trending_tokens" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingSketch.replayTrendingTokens(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -248,6 +252,14 @@ object SparkEntry {
           "CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_present " +
           "FROM documents WHERE (doc_id % 600) >= 300 " +
           "GROUP BY win, source HAVING n_present > 0 ORDER BY win, source"),
+      // windowed MG guarantees are exact and arrival-order-invariant, so
+      // the oracle enumerates the (window, source) domain as constant-true
+      "q_streaming_trending_tokens" ->
+        ("SELECT CAST((doc_id % 600) // 60 AS BIGINT) AS win, source, true AS within_bound " +
+          "FROM documents GROUP BY win, source " +
+          // a (window, source) group exists only if it streamed >= 1 token
+          "HAVING sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) > 0 " +
+          "ORDER BY win, source"),
       // the language-ID heuristic re-expressed in SQL: marker-word votes
       // over the distinct lowercased word set, ties to the lexically
       // largest language (maxBy on (score, lang)), CJK/Cyrillic ranges

@@ -122,7 +122,13 @@ object StreamingSketch {
 
   /** Replay-harness row collection, capped so the fixture path cannot be
     * pointed at a production-size table (driver OOM guard — ADVICE r2). */
-  private def collectReplayRows(t: DataFrame, epoch0: Long): Array[(Timestamp, String, Array[Int])] = {
+  private def collectReplayRows(t: DataFrame, epoch0: Long): Array[(Timestamp, String, Array[Int])] =
+    collectReplayRowsId(t, epoch0).map { case (ts, _, src, toks) => (ts, src, toks) }
+
+  /** As [[collectReplayRows]] but retaining the doc id (for replays whose
+    * key universe is doc-dependent). */
+  private def collectReplayRowsId(
+      t: DataFrame, epoch0: Long): Array[(Timestamp, Long, String, Array[Int])] = {
     val n = t.count()
     require(n <= 2000000L,
       s"replay harness materializes the token table on the driver ($n rows); " +
@@ -130,6 +136,7 @@ object StreamingSketch {
     t.select(col("doc_id"), col("source"), col("tokens")).collect().map { r =>
       val id = r.getString(0).toLong
       (Timestamp.from(Instant.ofEpochSecond(epoch0 + id % 600)),
+        id,
         r.getString(1),
         r.getAs[scala.collection.Seq[Int]](2).toArray)
     }
@@ -261,13 +268,117 @@ object StreamingSketch {
       tsCol: String,
       watermarkDelay: String,
       windowDuration: String,
+      capacity: Int): DataFrame =
+    windowedHeavyHittersKeys(
+      tokens.select(col(tsCol), col("source"), explode(col("tokens")).as("token"))
+        .select(col(tsCol), col("source"), col("token").cast("long").as("key")),
+      tsCol, "key", watermarkDelay, windowDuration, capacity)
+
+  /** [[windowedHeavyHitters]] over an already-keyed stream (tsCol, source,
+    * keyCol bigint) — for callers that derive their own key universe. */
+  def windowedHeavyHittersKeys(
+      keyed: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
       capacity: Int): DataFrame = {
     val hhU = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
-    tokens
+    keyed
       .withWatermark(tsCol, watermarkDelay)
-      .select(col(tsCol), col("source"), explode(col("tokens")).as("token"))
       .groupBy(window(col(tsCol), windowDuration), col("source"))
-      .agg(hhU(col("token").cast("long")).as("hh"))
+      .agg(hhU(col(keyCol)).as("hh"))
+  }
+
+  /** Complete-mode driver query (`q_streaming_trending_tokens`): the
+    * windowed Misra-Gries "trending tokens" operator under the DuckDB
+    * oracle. The fixture replays through a MemoryStream in out-of-order
+    * micro-batches; the key universe is blown up doc-dependently ON THE
+    * STREAM (tokens with id % 5 == 0 keep their mass, every other
+    * occurrence splits into ~101 sub-keys — vocab ≫ capacity, the same
+    * formula as the batch gate `q_heavyhitter_mg_bound`). For every
+    * (60 s window, source) the state-store-merged summary is read through
+    * the native `graft_heavyhitter_summary` struct and its EXACT
+    * guarantees are asserted against exactly-recomputed per-window counts:
+    * est ≤ true ≤ est + D for stored keys, presence of every key with
+    * true > D, and D·capacity ≤ N. The booleans are invariant to
+    * micro-batch arrival order (MG's merge is order-dependent at the BYTE
+    * level, but the guarantees are not), so the DuckDB oracle enumerates
+    * the (window, source) domain as constant-true rows. */
+  def replayTrendingTokens(spark: SparkSession, dir: String, capacity: Int = 16): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val epoch0 = Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    val t = graft.sources.Tokens.table(spark, dir)
+    val rows = collectReplayRowsId(t, epoch0)
+    val stream = MemoryStream[(Timestamp, Long, String, Array[Int])]
+    val streamed = stream.toDF().toDF("ts", "doc_id", "source", "tokens")
+    def blowup(token: org.apache.spark.sql.Column, docId: org.apache.spark.sql.Column) =
+      when(token % 5 === 0, token.cast("long") * 1000L)
+        .otherwise(token.cast("long") * 1000L + pmod(docId.cast("long"), lit(101L)) + 1L)
+    val keyed = streamed
+      .select(col("ts"), col("source"), col("doc_id"), explode(col("tokens")).as("token"))
+      .select(col("ts"), col("source"), blowup(col("token"), col("doc_id")).as("key"))
+    val windowed = windowedHeavyHittersKeys(
+      keyed, "ts", "key", watermarkDelay = "660 seconds", windowDuration = "60 seconds",
+      capacity)
+    val sinkName = "graft_stream_trending"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = windowed.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try {
+        (0 until 3).foreach { chunk =>
+          stream.addData(rows.filter(r => r._4.length % 3 == chunk).toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val winCol = ((col("window.start").cast("long") - epoch0) / 60).cast("long").as("win")
+    // materialize the sink ONCE (<= #windows x #sources summary rows): the
+    // gate reuses it in three branches, and Spark's self-join attribute
+    // dedup does not handle the memory-sink view (INTERNAL_ERROR:
+    // conflicting references); a LocalRelation self-joins fine
+    val sinkSel = spark.table(sinkName).select(winCol, col("source"), col("hh"))
+    val sinkRows = sinkSel.collect()
+    val sk = spark.createDataFrame(java.util.Arrays.asList(sinkRows: _*), sinkSel.schema)
+    val meta = sk
+      .select(col("win"), col("source"), graft.plans.SketchReaders.heavyHitterSummary(col("hh")).as("s"))
+      .select(col("win"), col("source"), col("s.error").as("d"), col("s.total").as("n"),
+        col("s.topk").as("entries"))
+    val entries = meta
+      .select(col("win"), col("source"), col("d"), explode(col("entries")).as("e"))
+      .select(col("win"), col("source"), col("d"), col("e.key").as("key"), col("e.est").as("est"))
+    val exact = t
+      .select(((col("doc_id").cast("long") % 600) / 60).cast("long").as("win"),
+        col("source"), col("doc_id"), explode(col("tokens")).as("token"))
+      .select(col("win"), col("source"), blowup(col("token"), col("doc_id")).as("key"))
+      .groupBy(col("win"), col("source"), col("key")).agg(count(lit(1)).as("cnt"))
+    val sandwich = entries.join(exact, Seq("win", "source", "key"))
+      .groupBy(col("win"), col("source"))
+      .agg(min(col("est") <= col("cnt") && col("cnt") <= col("est") + col("d")).as("sandwich_ok"))
+    val missed = exact
+      .join(meta.select(col("win"), col("source"), col("d")), Seq("win", "source"))
+      .where(col("cnt") > col("d"))
+      .join(entries.select(col("win"), col("source"), col("key")),
+        Seq("win", "source", "key"), "left_anti")
+      .groupBy(col("win"), col("source")).agg(count(lit(1)).as("n_missed"))
+    meta.select(col("win"), col("source"), (col("d") * capacity <= col("n")).as("budget_ok"))
+      .join(sandwich, Seq("win", "source"))
+      .join(missed, Seq("win", "source"), "left")
+      .select(col("win"), col("source"),
+        (col("budget_ok") && col("sandwich_ok") && coalesce(col("n_missed"), lit(0L)) === 0L)
+          .as("within_bound"))
+      .orderBy(col("win"), col("source"))
   }
 
   /** Per-(window, source) bottom-k uniform sample of distinct tokens
