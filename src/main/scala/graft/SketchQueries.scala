@@ -629,11 +629,15 @@ object SketchQueries {
       .join(entries.select(col("source"), col("key")), Seq("source", "key"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_missed"))
     // (3) the error budget: D * capacity <= N
+    // LEFT join + coalesce(true) on the sandwich: an empty summary (inserts
+    // can decrement every counter away) satisfies it vacuously; an inner
+    // join would drop the group's row and break the oracle's enumeration
     meta.select(col("source"), (col("d") * capacity <= col("n")).as("budget_ok"))
-      .join(sandwich, "source")
+      .join(sandwich, Seq("source"), "left")
       .join(missed, Seq("source"), "left")
       .select(col("source"),
-        (col("budget_ok") && col("sandwich_ok") && coalesce(col("n_missed"), lit(0L)) === 0L)
+        (col("budget_ok") && coalesce(col("sandwich_ok"), lit(true)) &&
+          coalesce(col("n_missed"), lit(0L)) === 0L)
           .as("within_bound"))
       .orderBy(col("source"))
   }

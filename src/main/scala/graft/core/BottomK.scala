@@ -34,20 +34,11 @@ object BottomK {
     (new Array[Long](k), new Array[Long](k))
   }
 
-  @inline private def lt(a: Long, b: Long): Boolean =
-    java.lang.Long.compareUnsigned(a, b) < 0
-
-  private def search(hashes: Array[Long], size: Int, h: Long): Int = {
-    var lo = 0
-    var hi = size - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val v = hashes(mid)
-      if (v == h) return mid
-      if (lt(v, h)) lo = mid + 1 else hi = mid - 1
-    }
-    -(lo + 1)
-  }
+  // unsigned compare + binary search shared with Kmv (identical prefix
+  // invariant; one definition so the two cannot drift)
+  @inline private def lt(a: Long, b: Long): Boolean = Kmv.lt(a, b)
+  @inline private def search(hashes: Array[Long], size: Int, h: Long): Int =
+    Kmv.search(hashes, size, h)
 
   /** Insert one (hash, value); mutates both arrays, returns the new size.
     * Saturated inserts fast-reject on one unsigned compare, like KMV. */

@@ -38,12 +38,13 @@ object Kmv {
     new Array[Long](k)
   }
 
-  @inline private def lt(a: Long, b: Long): Boolean =
+  @inline private[core] def lt(a: Long, b: Long): Boolean =
     java.lang.Long.compareUnsigned(a, b) < 0
 
   /** Unsigned binary search over the valid prefix. Returns the index of
-    * `h` if present, else `-(insertionPoint) - 1` (à la java.util.Arrays). */
-  private def search(hashes: Array[Long], size: Int, h: Long): Int = {
+    * `h` if present, else `-(insertionPoint) - 1` (à la java.util.Arrays).
+    * Shared with [[BottomK]] (same ascending-unsigned prefix invariant). */
+  private[core] def search(hashes: Array[Long], size: Int, h: Long): Int = {
     var lo = 0
     var hi = size - 1
     while (lo <= hi) {

@@ -222,24 +222,30 @@ object Similarity {
     val dim = if (sample.isEmpty) 0 else sample.map(_.length).max
     var iter = 0
     while (iter < lloydIters) {
+      // per-(cluster, dim) counts, not per-cluster: with ragged vectors a
+      // dim is averaged over the vectors that HAVE it (matching the old
+      // distributed posexplode-groupBy mean), and a seed shorter than the
+      // longest sampled vector keeps its own length (no out-of-range write)
       val sums = Array.fill(numClusters)(new Array[Double](dim))
-      val counts = new Array[Long](numClusters)
+      val dimCounts = Array.fill(numClusters)(new Array[Long](dim))
       var i = 0
       while (i < sample.length) {
         val v = sample(i)
         val c = nearestCluster(centroids, v)
-        counts(c) += 1
         val s = sums(c)
+        val n = dimCounts(c)
         var j = 0
-        while (j < v.length) { s(j) += v(j).toDouble; j += 1 }
+        while (j < v.length) { s(j) += v(j).toDouble; n(j) += 1; j += 1 }
         i += 1
       }
       val next = centroids.map(_.clone())
       var c = 0
       while (c < numClusters) {
-        if (counts(c) > 0) {
-          var j = 0
-          while (j < dim) { next(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        val limit = math.min(dim, next(c).length)
+        var j = 0
+        while (j < limit) {
+          if (dimCounts(c)(j) > 0) next(c)(j) = (sums(c)(j) / dimCounts(c)(j)).toFloat
+          j += 1
         }
         c += 1
       }

@@ -97,7 +97,9 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
   @transient private lazy val foldedLoad: Option[Either[String, LoadedBloomFilter]] =
     if (left.foldable && childrenResolved) {
       val bytes = left.eval(null)
-      if (bytes == null) None
+      // null or EMPTY literal: not loadable; the runtime path returns NULL
+      // per the family's empty-payload convention (plans.EmptyNull)
+      if (bytes == null || bytes.asInstanceOf[Array[Byte]].isEmpty) None
       else
         try Some(scala.util.Right(LoadedBloomFilter.loadTyped(k0, k1, bytes.asInstanceOf[Array[Byte]], expectedTag)))
         catch { case e: IllegalArgumentException => Some(scala.util.Left(e.getMessage)) }
@@ -126,9 +128,15 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
   def probeLong(bytes: Array[Byte], x: Long): Boolean = filterFor(bytes).containsLong(x)
   def probeUTF8(bytes: Array[Byte], s: UTF8String): Boolean = filterFor(bytes).containsUTF8(s)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(sketchVal: Any, elemVal: Any): Any = {
     val bytes = sketchVal.asInstanceOf[Array[Byte]]
-    right.dataType match {
+    // empty payload (a serialized merge over an empty group) -> NULL, the
+    // family's read-path convention (see plans.EmptyNull) — in a WHERE
+    // clause NULL filters like false, preserving no-false-negatives trivially
+    if (bytes.isEmpty) null
+    else right.dataType match {
       case IntegerType => probeInt(bytes, elemVal.asInstanceOf[Int])
       case LongType => probeLong(bytes, elemVal.asInstanceOf[Long])
       case StringType => probeUTF8(bytes, elemVal.asInstanceOf[UTF8String])
@@ -163,7 +171,8 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
           }""")
     } else {
       val selfRef = ctx.addReferenceObj("graftBloomExpr", this, classOf[BloomMightContain].getName)
-      defineCodeGen(ctx, ev, (sketch, elem) => s"$selfRef.$probeMethod($sketch, $elem)")
+      nullSafeCodeGen(ctx, ev, (sketch, elem) =>
+        EmptyNull.guard(ev, sketch, s"${ev.value} = $selfRef.$probeMethod($sketch, $elem);"))
     }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -230,7 +239,17 @@ case class BloomSetOp(left: Expression, right: Expression, k0: Long, k1: Long,
         s"$prettyName expects two BINARY sketches, got (${left.dataType}, ${right.dataType})")
     else TypeCheckResult.TypeCheckSuccess
 
+  /** Empty-payload handling mirrors the serialized merge aggregators: for
+    * UNION an empty side contributes nothing (the result IS the other
+    * side); INTERSECTION against an absent filter has no meaningful
+    * answer, so it yields the empty payload (which every downstream
+    * reader maps to NULL — plans.EmptyNull). */
   def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty || b.isEmpty) {
+      return if (intersection) Array.emptyByteArray
+      else if (a.isEmpty) b
+      else a
+    }
     val (cfgA, wa, tagA) = BlockedBloom.fromBytes(k0, k1, a)
     val (cfgB, wb, tagB) = BlockedBloom.fromBytes(k0, k1, b)
     if (tagA != tagB)

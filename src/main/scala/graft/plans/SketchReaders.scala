@@ -48,11 +48,32 @@ private[plans] final class ReaderCache[S <: AnyRef](load: Array[Byte] => S) exte
   }
 }
 
+/** EMPTY-PAYLOAD CONVENTION for the read path: the serialized-merge
+  * aggregators (`graft_*_merge`) finish an empty group to
+  * `Array.emptyByteArray` (so chained merge levels can skip it); reading
+  * that payload yields SQL NULL — the standard "aggregate over no rows"
+  * answer — instead of a deserialization exception. The helpers below bake
+  * the check into both eval and generated code; pairwise UNION ops instead
+  * use the merge aggregators' own skip convention (empty side -> other
+  * side). */
+private[plans] object EmptyNull {
+  /** Codegen body: NULL out on an empty payload, else assign the call. */
+  def guard(ev: ExprCode, bytesVar: String, assign: String): String =
+    s"""
+       |if ($bytesVar.length == 0) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  $assign
+       |}
+     """.stripMargin
+}
+
 /** `graft_hll_estimate(sketch)` -> double. The O(m) register scan runs once
   * per distinct sketch (the ESTIMATE is cached, not the registers). */
 case class HllEstimateExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_hll_estimate"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -65,11 +86,15 @@ case class HllEstimateExpr(child: Expression) extends UnaryExpression {
 
   def estimate(bytes: Array[Byte]): Double = cache.get(bytes).doubleValue()
 
-  override def nullSafeEval(v: Any): Any = estimate(v.asInstanceOf[Array[Byte]])
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null else estimate(bytes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("hllEst", this, classOf[HllEstimateExpr].getName)
-    defineCodeGen(ctx, ev, b => s"$selfRef.estimate($b)")
+    nullSafeCodeGen(ctx, ev, b =>
+      EmptyNull.guard(ev, b, s"${ev.value} = $selfRef.estimate($b);"))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -117,10 +142,16 @@ case class CmsEstimateExpr(left: Expression, right: Expression, k0: Long, k1: Lo
     CountMin.estimateBytes(c.buf, c.cfg, s.getBytes)
   }
 
-  override def nullSafeEval(sketchVal: Any, elemVal: Any): Any = right.dataType match {
-    case IntegerType => estimateInt(sketchVal.asInstanceOf[Array[Byte]], elemVal.asInstanceOf[Int])
-    case StringType => estimateUTF8(sketchVal.asInstanceOf[Array[Byte]], elemVal.asInstanceOf[UTF8String])
+  override def nullSafeEval(sketchVal: Any, elemVal: Any): Any = {
+    val bytes = sketchVal.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null
+    else right.dataType match {
+      case IntegerType => estimateInt(bytes, elemVal.asInstanceOf[Int])
+      case StringType => estimateUTF8(bytes, elemVal.asInstanceOf[UTF8String])
+    }
   }
+
+  override def nullable: Boolean = true
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("cmsEst", this, classOf[CmsEstimateExpr].getName)
@@ -128,7 +159,8 @@ case class CmsEstimateExpr(left: Expression, right: Expression, k0: Long, k1: Lo
       case IntegerType => "estimateInt"
       case StringType => "estimateUTF8"
     }
-    defineCodeGen(ctx, ev, (s, e) => s"$selfRef.$m($s, $e)")
+    nullSafeCodeGen(ctx, ev, (s, e) =>
+      EmptyNull.guard(ev, s, s"${ev.value} = $selfRef.$m($s, $e);"))
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -153,11 +185,17 @@ case class CmsTotalExpr(child: Expression, k0: Long, k1: Long) extends UnaryExpr
     CountMin.totalCount(c.buf, c.cfg)
   }
 
-  override def nullSafeEval(v: Any): Any = total(v.asInstanceOf[Array[Byte]])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null else total(bytes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("cmsTotal", this, classOf[CmsTotalExpr].getName)
-    defineCodeGen(ctx, ev, b => s"$selfRef.total($b)")
+    nullSafeCodeGen(ctx, ev, b =>
+      EmptyNull.guard(ev, b, s"${ev.value} = $selfRef.total($b);"))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -186,14 +224,20 @@ case class RankReadExpr(left: Expression, right: Expression, isKll: Boolean)
   def rank(bytes: Array[Byte], x: Double): Long = kllCache.get(bytes).rank(x)
   def cdf(bytes: Array[Byte], x: Double): Double = tdCache.get(bytes).cdf(x)
 
-  override def nullSafeEval(sketchVal: Any, xVal: Any): Any =
-    if (isKll) rank(sketchVal.asInstanceOf[Array[Byte]], xVal.asInstanceOf[Double])
-    else cdf(sketchVal.asInstanceOf[Array[Byte]], xVal.asInstanceOf[Double])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(sketchVal: Any, xVal: Any): Any = {
+    val bytes = sketchVal.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null
+    else if (isKll) rank(bytes, xVal.asInstanceOf[Double])
+    else cdf(bytes, xVal.asInstanceOf[Double])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("rankRead", this, classOf[RankReadExpr].getName)
     val m = if (isKll) "rank" else "cdf"
-    defineCodeGen(ctx, ev, (s, x) => s"$selfRef.$m($s, $x)")
+    nullSafeCodeGen(ctx, ev, (s, x) =>
+      EmptyNull.guard(ev, s, s"${ev.value} = $selfRef.$m($s, $x);"))
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -222,12 +266,17 @@ case class QuantileReadExpr(left: Expression, right: Expression, isKll: Boolean)
   def quantile(bytes: Array[Byte], q: Double): Double =
     if (isKll) kllCache.get(bytes).quantile(q) else tdCache.get(bytes).quantile(q)
 
-  override def nullSafeEval(sketchVal: Any, qVal: Any): Any =
-    quantile(sketchVal.asInstanceOf[Array[Byte]], qVal.asInstanceOf[Double])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(sketchVal: Any, qVal: Any): Any = {
+    val bytes = sketchVal.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null else quantile(bytes, qVal.asInstanceOf[Double])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("quantileRead", this, classOf[QuantileReadExpr].getName)
-    defineCodeGen(ctx, ev, (s, q) => s"$selfRef.quantile($s, $q)")
+    nullSafeCodeGen(ctx, ev, (s, q) =>
+      EmptyNull.guard(ev, s, s"${ev.value} = $selfRef.quantile($s, $q);"))
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -280,11 +329,17 @@ case class KmvEstimateExpr(child: Expression) extends UnaryExpression {
 
   def estimate(bytes: Array[Byte]): Double = cache.get(bytes).doubleValue()
 
-  override def nullSafeEval(v: Any): Any = estimate(v.asInstanceOf[Array[Byte]])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null else estimate(bytes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("kmvEst", this, classOf[KmvEstimateExpr].getName)
-    defineCodeGen(ctx, ev, b => s"$selfRef.estimate($b)")
+    nullSafeCodeGen(ctx, ev, b =>
+      EmptyNull.guard(ev, b, s"${ev.value} = $selfRef.estimate($b);"))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -329,12 +384,24 @@ case class KmvPairExpr(left: Expression, right: Expression, op: KmvPairExpr.Op)
     }
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ab = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    if (ab.isEmpty || bb.isEmpty) null else compute(ab, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("kmvPair", this, classOf[KmvPairExpr].getName)
-    defineCodeGen(ctx, ev, (a, b) => s"$selfRef.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.length == 0 || $b.length == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $selfRef.compute($a, $b);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -368,7 +435,13 @@ case class KmvUnionExpr(left: Expression, right: Expression) extends BinaryExpre
   @transient private lazy val cacheL = new ReaderCache[LoadedKmv](LoadedKmv.load)
   @transient private lazy val cacheR = new ReaderCache[LoadedKmv](LoadedKmv.load)
 
+  /** Union with the merge aggregators' own skip convention: an EMPTY
+    * payload (a merge over no inputs) contributes nothing, so the union
+    * IS the other side — `graft_kmv_estimate(graft_kmv_union(empty, x))`
+    * composes to est(x), exactly as a chained `graft_kmv_merge` would. */
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
     val (ka, kb) = LoadedKmv.loadPair(cacheL, cacheR, a, b, prettyName)
     val (h, s) = Kmv.merge(ka.hashes, ka.size, kb.hashes, kb.size)
     Kmv.toBytes(h, s, ka.typeTag, ka.keyHash)
@@ -420,11 +493,17 @@ case class HeavyHitterSummaryExpr(child: Expression) extends UnaryExpression {
 
   def summary(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = cache.get(bytes)
 
-  override def nullSafeEval(v: Any): Any = summary(v.asInstanceOf[Array[Byte]])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null else summary(bytes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("hhSummary", this, classOf[HeavyHitterSummaryExpr].getName)
-    defineCodeGen(ctx, ev, b => s"$selfRef.summary($b)")
+    nullSafeCodeGen(ctx, ev, b =>
+      EmptyNull.guard(ev, b, s"${ev.value} = $selfRef.summary($b);"))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -463,11 +542,17 @@ case class BottomKValuesExpr(child: Expression) extends UnaryExpression {
   def values(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData =
     cache.get(bytes)
 
-  override def nullSafeEval(v: Any): Any = values(v.asInstanceOf[Array[Byte]])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null else values(bytes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("bottomKValues", this, classOf[BottomKValuesExpr].getName)
-    defineCodeGen(ctx, ev, b => s"$selfRef.values($b)")
+    nullSafeCodeGen(ctx, ev, b =>
+      EmptyNull.guard(ev, b, s"${ev.value} = $selfRef.values($b);"))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -533,11 +618,15 @@ object SketchReaders {
     case _ => throw new IllegalArgumentException(s"$KmvEstimateName expects (sketch BINARY)")
   }
 
+  private def kmvPairName(op: KmvPairExpr.Op): String = op match {
+    case KmvPairExpr.Jaccard => KmvJaccardName
+    case KmvPairExpr.Intersect => KmvIntersectName
+    case KmvPairExpr.Difference => KmvDifferenceName
+  }
+
   private[plans] def kmvPairBuilder(op: KmvPairExpr.Op)(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(a, b) => KmvPairExpr(a, b, op)
-    case _ => throw new IllegalArgumentException(
-      s"${KmvPairExpr(Literal(null, BinaryType), Literal(null, BinaryType), op).prettyName} " +
-        "expects (a BINARY, b BINARY)")
+    case _ => throw new IllegalArgumentException(s"${kmvPairName(op)} expects (a BINARY, b BINARY)")
   }
 
   private[plans] def kmvUnionBuilder(exprs: Seq[Expression]): Expression = exprs match {

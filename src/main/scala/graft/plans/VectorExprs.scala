@@ -169,9 +169,11 @@ object VectorFunctions {
     case _ => throw new IllegalArgumentException(s"$CosineSimName expects (a ARRAY, b ARRAY)")
   }
 
+  // range-check BEFORE narrowing: a Long literal like 2^32+64 must be
+  // rejected, not silently wrapped to a valid-looking Int
   private def intLit(e: Expression): Option[Int] = e match {
     case Literal(v: Int, IntegerType) => Some(v)
-    case Literal(v: Long, LongType) => Some(v.toInt)
+    case Literal(v: Long, LongType) if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
     case _ => None
   }
 

@@ -373,10 +373,15 @@ object StreamingSketch {
         Seq("win", "source", "key"), "left_anti")
       .groupBy(col("win"), col("source")).agg(count(lit(1)).as("n_missed"))
     meta.select(col("win"), col("source"), (col("d") * capacity <= col("n")).as("budget_ok"))
-      .join(sandwich, Seq("win", "source"))
+      // LEFT join + coalesce(true): a summary can legitimately end EMPTY
+      // (inserts can decrement every counter to zero), in which case the
+      // sandwich is vacuously satisfied — an inner join would silently
+      // drop the (window, source) row and break the oracle's enumeration
+      .join(sandwich, Seq("win", "source"), "left")
       .join(missed, Seq("win", "source"), "left")
       .select(col("win"), col("source"),
-        (col("budget_ok") && col("sandwich_ok") && coalesce(col("n_missed"), lit(0L)) === 0L)
+        (col("budget_ok") && coalesce(col("sandwich_ok"), lit(true)) &&
+          coalesce(col("n_missed"), lit(0L)) === 0L)
           .as("within_bound"))
       .orderBy(col("win"), col("source"))
   }

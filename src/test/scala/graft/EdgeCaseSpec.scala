@@ -191,6 +191,54 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](m.reduce(m.zero, wrongKey))
   }
 
+  test("KMV difference and BottomK sample edge cases: empties, cross-key/type rejection, null SQL") {
+    import graft.core.{BottomK, Kmv, SipHash}
+    // difference against / from an empty sketch: exact, no crash
+    val (hx, sx) = {
+      val h = Kmv.emptyHashes(16); var s = 0
+      (1 to 9).foreach(e => s = Kmv.add(h, s, SipHash.hashInt(K0, K1, e))); (h, s)
+    }
+    val (h0, s0) = (Kmv.emptyHashes(16), 0)
+    assert(Kmv.difference(h0, s0, hx, sx) === 0.0)
+    assert(Kmv.difference(hx, sx, h0, s0) === 9.0)
+    // BottomK merge agg: empty group -> empty payload; chained level skips it
+    val keyHash = SipHash.hashLong(K0, K1, K0 ^ K1)
+    val m = new BottomKMergeAgg(K0, K1)
+    assert(m.finish(m.zero).isEmpty)
+    def serBk(k: Int, elems: Range): Array[Byte] = {
+      val (h, v) = BottomK.emptyBuffers(k); var s = 0
+      elems.foreach(e => s = BottomK.add(h, v, s, SipHash.hashLong(K0, K1, e.toLong), e.toLong))
+      BottomK.toBytes(h, v, s, BlockedBloom.TypeTag.Long, keyHash)
+    }
+    val chained = m.finish(m.reduce(m.reduce(m.zero, Array.emptyByteArray), serBk(8, 1 to 100)))
+    assert(BottomK.fromBytes(chained)._3 === 8)
+    // cross-capacity merge folds down; cross-type and wrong-key rejected
+    val folded = m.finish(m.reduce(m.reduce(m.zero, serBk(32, 1 to 100)), serBk(8, 50 to 150)))
+    assert(BottomK.fromBytes(folded)._1.length === 8)
+    val typed = BottomK.toBytes(BottomK.emptyBuffers(8)._1, BottomK.emptyBuffers(8)._2, 0,
+      BlockedBloom.TypeTag.Int, keyHash)
+    assertThrows[IllegalArgumentException](
+      m.merge(m.reduce(m.zero, serBk(8, 1 to 10)), m.reduce(m.zero, typed)))
+    val wrongKey = BottomK.toBytes(BottomK.emptyBuffers(8)._1, BottomK.emptyBuffers(8)._2, 0,
+      BlockedBloom.TypeTag.Long, keyHash + 1)
+    assertThrows[IllegalArgumentException](m.reduce(m.zero, wrongKey))
+    // SQL null semantics for the new readers
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_kmv_difference(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) AS a,
+        |       graft_sample_values(CAST(NULL AS BINARY)) AS b""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // graft_kmv_difference rejects cross-key pairs like its siblings
+    val aBytes = Kmv.toBytes(hx, sx, BlockedBloom.TypeTag.Int, keyHash)
+    val bBytes = Kmv.toBytes(hx, sx, BlockedBloom.TypeTag.Int, keyHash + 1)
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq((aBytes, bBytes)).toDF("a", "b")
+        .select(org.apache.spark.sql.functions.expr("graft_kmv_difference(a, b)")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("HLL merge rejects mismatched precision; bloom merge rejects mismatched k") {
     val a = Hll.empty(10)
     val b = Hll.empty(12)

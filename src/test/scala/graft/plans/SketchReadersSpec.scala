@@ -223,6 +223,47 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT graft_heavyhitter_summary(CAST(NULL AS BINARY))").head().isNullAt(0))
   }
 
+  test("empty-payload convention: merge-agg empty output reads as NULL; unions skip it") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // every reader maps X'' (the serialized-merge empty-group output) to NULL
+    val r = spark.sql(
+      """SELECT graft_hll_estimate(X'') AS a, graft_cms_estimate(X'', 7) AS b,
+        |       graft_cms_total(X'') AS c, graft_kll_quantile(X'', 0.5) AS d,
+        |       graft_tdigest_quantile(X'', 0.5) AS e, graft_kll_rank(X'', 1.0) AS f,
+        |       graft_tdigest_cdf(X'', 1.0) AS g, graft_kmv_estimate(X'') AS h,
+        |       graft_kmv_jaccard(X'', X'') AS i, graft_kmv_difference(X'', X'') AS j,
+        |       graft_heavyhitter_summary(X'') AS k, graft_sample_values(X'') AS l,
+        |       graft_bloom_might_contain(X'', 7) AS m""".stripMargin).head()
+    (0 until 13).foreach(i => assert(r.isNullAt(i), s"column $i must be NULL on empty payload"))
+    // ...including through codegen on a non-local plan
+    val viaCg = Seq(Array.emptyByteArray, Array.emptyByteArray).toDF("sk").repartition(2)
+      .select(expr("graft_kmv_estimate(sk)")).collect()
+    assert(viaCg.forall(_.isNullAt(0)))
+    // the full chain: merge over an empty group -> estimate -> NULL, not a throw
+    Seq(1L).toDF("x").createOrReplaceTempView("ep_in")
+    // GROUP BY in the inner so the filtered-out input yields ZERO rows (an
+    // UNGROUPED inner agg would emit one row holding a VALID empty sketch,
+    // which correctly estimates 0.0, not NULL)
+    val chained = spark.sql(
+      """SELECT graft_kmv_estimate(graft_kmv_merge(sk)) AS est FROM
+        |(SELECT graft_kmv_long(x) AS sk FROM ep_in WHERE x < 0 GROUP BY x)""".stripMargin).head()
+    assert(chained.isNullAt(0))
+    // unions SKIP the empty side (the merge aggregators' convention)
+    val kmvBytes = spark.sql("SELECT graft_kmv_long(x) FROM ep_in").head().getAs[Array[Byte]](0)
+    val u = Seq((kmvBytes, Array.emptyByteArray)).toDF("a", "b")
+      .select(expr("graft_kmv_estimate(graft_kmv_union(a, b))"),
+        expr("graft_kmv_estimate(graft_kmv_union(b, a))")).head()
+    assert(u.getDouble(0) === 1.0 && u.getDouble(1) === 1.0)
+    val bloomBytes = spark.sql("SELECT graft_bloom_tokens(array(7)) FROM ep_in")
+      .head().getAs[Array[Byte]](0)
+    val bu = Seq((bloomBytes, Array.emptyByteArray)).toDF("a", "b")
+      .select(expr("graft_bloom_might_contain(graft_bloom_union(a, b), 7)"),
+        expr("graft_bloom_might_contain(graft_bloom_intersect(a, b), 7)")).head()
+    assert(bu.getBoolean(0) === true, "union with empty payload must keep the real side")
+    assert(bu.isNullAt(1), "intersect with empty payload must read as NULL")
+  }
+
   test("graft_srp_bands: bit-identical to the SrpChunker UDF, codegen, analysis-time checks") {
     import spark.implicits._
     GraftFunctions.registerExpressions(spark)
