@@ -386,6 +386,29 @@ object StreamingSketch {
       .orderBy(col("win"), col("source"))
   }
 
+  /** SESSION-window KMV: per-(activity session, source) distinct-token
+    * sketch, where a session extends while events arrive within
+    * `gapDuration` of each other (Spark's `session_window` — the dynamic
+    * windowing mode the fixed tumbling windows above don't cover; think
+    * per-user-session distinct counts). Sessions merge across micro-batches
+    * in the state store exactly like the tumbling rows — KMV's
+    * order-insensitive content makes the merged session sketch a pure
+    * function of the session's element set (byte-identity tested). Append
+    * output requires the watermark; closed sessions emit once. */
+  def sessionKmv(
+      tokens: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      gapDuration: String,
+      k0: Long, k1: Long, k: Int): DataFrame = {
+    val tokensEnc = ExpressionEncoder[Array[Int]]()
+    val kmvU = udaf(new KmvTokensAgg(k0, k1, k), tokensEnc)
+    tokens
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration), col("source"))
+      .agg(kmvU(col("tokens")).as("kmv"))
+  }
+
   /** Per-(window, source) bottom-k uniform sample of distinct tokens
     * ([[graft.core.BottomK]]). The retained sample is a pure function of
     * the element SET — order-insensitive like KMV — so the state-store

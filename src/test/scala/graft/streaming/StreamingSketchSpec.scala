@@ -213,6 +213,60 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("session-window KMV: sessions merge across micro-batches, close on watermark, bytes = serial") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def sec(s: Int): Timestamp = java.sql.Timestamp.from(
+      Timestamp.valueOf("2026-01-01 10:00:00").toInstant.plusSeconds(s.toLong))
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val df = stream.toDF().toDF("ts", "source", "tokens")
+    // watermark covers the whole out-of-order replay span (as in the
+    // complete-mode replays): this test asserts session MERGING, not
+    // late-drop — the drop semantics has its own append-mode test above
+    val out = StreamingSketch.sessionKmv(df, "ts", "600 seconds", "60 seconds",
+      Keys.DefaultK0, Keys.DefaultK1, k = 16)
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sess").start()
+    try {
+      // session A: events at 0 s, 30 s, 50 s (gaps < 60 s -> ONE session
+      // [0, 110)); session B: event at 300 s. Delivered out of order and
+      // split across micro-batches so the state store must MERGE the
+      // session fragments.
+      stream.addData((sec(30), "a", Array(3, 4)), (sec(300), "a", Array(9)))
+      query.processAllAvailable()
+      stream.addData((sec(0), "a", Array(1, 2, 3)), (sec(50), "a", Array(5, 5, 6)))
+      query.processAllAvailable()
+      // sentinel far in the future: watermark passes both sessions' ends,
+      // closing them (its own never closes; filtered out below)
+      stream.addData((sec(2000), "zz", Array(0)))
+      query.processAllAvailable()
+      stream.addData((sec(2001), "zz", Array(0)))
+      query.processAllAvailable()
+      val got = spark.table("stream_sess")
+        .where(col("source") === "a")
+        .select(col("session_window.start").cast("long").as("start"),
+          col("session_window.end").cast("long").as("end"), col("kmv"))
+        .collect()
+        .map(r => (r.getLong(0) - sec(0).toInstant.getEpochSecond,
+          r.getLong(1) - sec(0).toInstant.getEpochSecond, r.getAs[Array[Byte]](2)))
+        .sortBy(_._1)
+      assert(got.map(t => (t._1, t._2)).toSeq === Seq((0L, 110L), (300L, 360L)),
+        s"session boundaries wrong: ${got.map(t => (t._1, t._2)).toSeq}")
+      def serialBytes(tokens: Seq[Int]): Array[Byte] = {
+        val h = graft.core.Kmv.emptyHashes(16)
+        var s = 0
+        tokens.foreach(t => s = graft.core.Kmv.add(h, s,
+          graft.core.SipHash.hashInt(Keys.DefaultK0, Keys.DefaultK1, t)))
+        graft.core.Kmv.toBytes(h, s, graft.core.BlockedBloom.TypeTag.Int,
+          graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1,
+            Keys.DefaultK0 ^ Keys.DefaultK1))
+      }
+      assert(java.util.Arrays.equals(got(0)._3, serialBytes(Seq(3, 4, 1, 2, 3, 5, 5, 6))),
+        "merged session sketch differs from serial build over the session's tokens")
+      assert(java.util.Arrays.equals(got(1)._3, serialBytes(Seq(9))))
+    } finally query.stop()
+  }
+
   test("append-mode replay driver query: exact counts over the surviving half only") {
     val out = StreamingSketch.replayBloomWindowsAppend(
       spark, "/root/testdata/sf0.001", BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 10), 12)
