@@ -408,6 +408,24 @@ object SketchAggs {
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
 
+  /** WEIGHTED Misra-Gries heavy hitters over (key, weight) pairs — e.g.
+    * token-MASS ranking where each occurrence carries a count. The core
+    * summary's weighted `add` keeps every guarantee with N = total weight
+    * (est <= true-mass <= est + D; any key with mass > D present;
+    * D*capacity <= N). Negative weights are rejected by the core. */
+  final class HeavyHittersWeightedLongAgg(capacity: Int)
+      extends Aggregator[(Long, Long), FrequentItems.Summary, Array[Byte]] {
+    override def zero: FrequentItems.Summary = new FrequentItems.Summary(capacity)
+    override def reduce(buf: FrequentItems.Summary, kv: (Long, Long)): FrequentItems.Summary = {
+      buf.add(kv._1, kv._2); buf
+    }
+    override def merge(b1: FrequentItems.Summary, b2: FrequentItems.Summary): FrequentItems.Summary =
+      b1.mergeInPlace(b2)
+    override def finish(buf: FrequentItems.Summary): Array[Byte] = FrequentItems.toBytes(buf)
+    override def bufferEncoder: Encoder[FrequentItems.Summary] = Encoders.kryo[FrequentItems.Summary]
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
   /** Merges already-serialized Misra-Gries summaries (second-level
     * aggregation: per-(source,salt) partials -> per-source, or per-source
     * -> global; the checkpoint-merge shape). Capacities must match; the

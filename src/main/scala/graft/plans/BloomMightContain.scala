@@ -377,6 +377,8 @@ object GraftFunctions {
       udaf(new HeavyHittersLongAgg(64), ExpressionEncoder[Long]()))
     spark.udf.register("graft_heavyhitter_merge",
       udaf(new HeavyHittersMergeAgg, ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_heavyhitter_weighted",
+      udaf(new HeavyHittersWeightedLongAgg(64), ExpressionEncoder[(Long, Long)]()))
     spark.udf.register("graft_kmv_tokens",
       udaf(new KmvTokensAgg(Keys.DefaultK0, Keys.DefaultK1, 256), tokensEnc))
     spark.udf.register("graft_kmv_long",

@@ -281,6 +281,40 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("weighted heavy hitters: mass-based guarantees through SQL, merge keeps them") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // key 7 carries 40% of the MASS in few rows; tail keys carry weight 1-3
+    val rows = (0 until 12000).map { i =>
+      if (i % 100 == 0) (7L, 400L)
+      else (100L + (graft.core.SipHash.hashLong(3L, 4L, i.toLong) & 0xfffL), 1L + i % 3)
+    }
+    rows.toDF("key", "w").createOrReplaceTempView("hhw_in")
+    val bytes = spark.sql("SELECT graft_heavyhitter_weighted(key, w) FROM hhw_in")
+      .head().getAs[Array[Byte]](0)
+    val s = graft.core.FrequentItems.fromBytes(bytes)
+    val exact = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val totalMass = rows.map(_._2).sum
+    assert(s.total === totalMass)
+    assert(s.decremented * s.capacity <= s.total)
+    s.entries.foreach { case (k, est) =>
+      val t = exact.getOrElse(k, 0L)
+      assert(est <= t && t <= est + s.decremented, s"weighted sandwich broken at $k")
+    }
+    exact.foreach { case (k, t) =>
+      if (t > s.decremented) assert(s.contains(k), s"heavy-mass key $k lost")
+    }
+    assert(s.topK(1).head._1 === 7L, "the dominant-mass key must rank first")
+    // distributed merge over partitions keeps the guarantees
+    val bytesParts = rows.toDF("key", "w").repartition(7)
+      .agg(udaf(new HeavyHittersWeightedLongAgg(64),
+        ExpressionEncoder[(Long, Long)]())(col("key"), col("w")))
+      .head().getAs[Array[Byte]](0)
+    val sp = graft.core.FrequentItems.fromBytes(bytesParts)
+    assert(sp.total === totalMass && sp.decremented * sp.capacity <= sp.total)
+    assert(sp.contains(7L) && sp.topK(1).head._1 === 7L)
+  }
+
   test("HeavyHittersMergeAgg: empty payloads chain through merge levels (family convention)") {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
