@@ -57,6 +57,21 @@ class GoldenFilesSpec extends AnyFunSuite {
     (0L until 8L).foreach(k => assert(back.contains(k), s"planted heavy $k missing"))
   }
 
+  test("bottomk golden file: byte-identical rebuild, sample stable forever") {
+    val (h, v) = BottomK.emptyBuffers(32)
+    var s = 0
+    (1L to 5000L).foreach(x => s = BottomK.add(h, v, s, SipHash.hashLong(k0, k1, x), x))
+    val fresh = BottomK.toBytes(h, v, s, BlockedBloom.TypeTag.Long, SipHash.hashLong(k0, k1, k0 ^ k1))
+    val stored = golden("bottomk_32.bin")
+    assert(java.util.Arrays.equals(fresh, stored), "BottomK golden drift")
+    // determinism-across-versions is the operator's whole point: the
+    // committed sample must decode to the same 32 values forever
+    val (h2, v2, s2, tag, _) = BottomK.fromBytes(stored)
+    assert(tag === BlockedBloom.TypeTag.Long && s2 === 32)
+    assert(v2.take(s2).forall(x => x >= 1L && x <= 5000L))
+    (0 until s2).foreach(i => assert(h2(i) === SipHash.hashLong(k0, k1, v2(i))))
+  }
+
   test("kmv golden file: byte-identical rebuild, estimator inside bound") {
     val h = Kmv.emptyHashes(64)
     var s = 0
