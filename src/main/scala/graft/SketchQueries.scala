@@ -686,16 +686,39 @@ object SketchQueries {
       .select(col("source"), explode(col("vals")).as("doc_id"))
       .join(docs, Seq("source", "doc_id"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_bad"))
+    // STRING-valued sample over the SAME ids as strings — the input
+    // schema's doc_id is a string; the sampler must work without a numeric
+    // cast (round-4 string-layout variant, gated with its own exact booleans)
+    val docsStr = docs.select(col("source"), col("doc_id").cast("string").as("doc_id_str"))
+    val strAggU = udaf(new BottomKStringAgg(K0, K1, k), ExpressionEncoder[String]())
+    val strMergeU = udaf(new BottomKStringMergeAgg(K0, K1), binaryEnc)
+    val strDirect = docsStr.groupBy(col("source")).agg(strAggU(col("doc_id_str")).as("ssk"))
+    val strTwoLevel = docsStr
+      .groupBy(col("source"), pmod(col("doc_id_str").cast("long"), lit(5L)).as("shard"))
+      .agg(strAggU(col("doc_id_str")).as("partial"))
+      .groupBy(col("source")).agg(strMergeU(col("partial")).as("ssk_merged"))
+    val strWithVals = strDirect.select(col("source"), col("ssk"),
+      SketchReaders.sampleStrings(col("ssk")).as("svals"))
+    val strNonMembers = strWithVals
+      .select(col("source"), explode(col("svals")).as("doc_id_str"))
+      .join(docsStr, Seq("source", "doc_id_str"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_bad_str"))
     withVals
       .join(exact, "source")
       .join(repart, "source")
       .join(twoLevel, "source")
       .join(nonMembers, Seq("source"), "left")
+      .join(strWithVals, "source")
+      .join(strTwoLevel, "source")
+      .join(strNonMembers, Seq("source"), "left")
       .select(col("source"),
         (size(col("vals")) === least(lit(k), col("nd"))).as("size_ok"),
         (coalesce(col("n_bad"), lit(0L)) === 0L).as("members_ok"),
         (col("sk") === col("sk_repart")).as("partition_invariant"),
-        (col("sk") === col("sk_merged")).as("merge_matches_direct"))
+        (col("sk") === col("sk_merged")).as("merge_matches_direct"),
+        (size(col("svals")) === least(lit(k), col("nd"))).as("str_size_ok"),
+        (coalesce(col("n_bad_str"), lit(0L)) === 0L).as("str_members_ok"),
+        (col("ssk") === col("ssk_merged")).as("str_merge_matches_direct"))
       .orderBy(col("source"))
   }
 

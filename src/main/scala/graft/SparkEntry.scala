@@ -153,7 +153,8 @@ object SparkEntry {
       // (size, membership, partition-invariance, serialized-merge identity)
       "q_sample_bottomk" ->
         ("SELECT source, true AS size_ok, true AS members_ok, " +
-          "true AS partition_invariant, true AS merge_matches_direct " +
+          "true AS partition_invariant, true AS merge_matches_direct, " +
+          "true AS str_size_ok, true AS str_members_ok, true AS str_merge_matches_direct " +
           "FROM documents GROUP BY source ORDER BY source"),
       // the SAME regex evaluates in both engines (pattern restricted to the
       // Java-regex ∩ RE2 dialect; see TextPipeline.BpeIshPattern)

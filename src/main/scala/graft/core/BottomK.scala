@@ -41,8 +41,11 @@ object BottomK {
     Kmv.search(hashes, size, h)
 
   /** Insert one (hash, value); mutates both arrays, returns the new size.
-    * Saturated inserts fast-reject on one unsigned compare, like KMV. */
-  def add(hashes: Array[Long], values: Array[Long], size: Int, h: Long, v: Long): Int = {
+    * Saturated inserts fast-reject on one unsigned compare, like KMV.
+    * Generic over the value type so the long- and string-valued samples
+    * share ONE insertion algorithm (boxing only on the rare actual-insert
+    * path; the saturated fast-reject touches no values). */
+  def addG[V](hashes: Array[Long], values: Array[V], size: Int, h: Long, v: V): Int = {
     val k = hashes.length
     if (size == k && !lt(h, hashes(k - 1))) return size
     val pos = search(hashes, size, h)
@@ -59,13 +62,17 @@ object BottomK {
     newSize
   }
 
+  def add(hashes: Array[Long], values: Array[Long], size: Int, h: Long, v: Long): Int =
+    addG(hashes, values, size, h, v)
+
   /** Union-merge, capacity min(kA, kB) (cross-capacity folds down exactly
     * like [[Kmv.merge]]). Returns (hashes, values, size). */
-  def merge(aH: Array[Long], aV: Array[Long], aSize: Int,
-      bH: Array[Long], bV: Array[Long], bSize: Int): (Array[Long], Array[Long], Int) = {
+  def mergeG[V](aH: Array[Long], aV: Array[V], aSize: Int,
+      bH: Array[Long], bV: Array[V], bSize: Int)(
+      implicit ct: scala.reflect.ClassTag[V]): (Array[Long], Array[V], Int) = {
     val k = math.min(aH.length, bH.length)
     val outH = new Array[Long](k)
-    val outV = new Array[Long](k)
+    val outV = new Array[V](k)
     var i = 0; var j = 0; var n = 0
     while (n < k && (i < aSize || j < bSize)) {
       val takeA = j >= bSize || (i < aSize && lt(aH(i), bH(j)))
@@ -76,28 +83,24 @@ object BottomK {
     (outH, outV, n)
   }
 
+  def merge(aH: Array[Long], aV: Array[Long], aSize: Int,
+      bH: Array[Long], bV: Array[Long], bSize: Int): (Array[Long], Array[Long], Int) =
+    mergeG(aH, aV, aSize, bH, bV, bSize)
+
   // --- serialization: [version, typeTag, keyHash, k, size] BE header +
-  //     hashes[size] + values[size] ---
+  //     hashes[size] + values. LONG layout: values are fixed 8-byte; STRING
+  //     layout: each value is (int length, UTF-8 bytes). The typeTag picks
+  //     the layout, and each decoder REFUSES the other's tag — a string
+  //     payload must not be misparsed as longs. ---
   final val SerialVersion = 1L
 
-  def toBytes(hashes: Array[Long], values: Array[Long], size: Int,
-      typeTag: Long, keyHash: Long): Array[Byte] = {
-    val bb = ByteBuffer.allocate(40 + 16 * size).order(ByteOrder.BIG_ENDIAN)
+  private def header(bb: ByteBuffer, typeTag: Long, keyHash: Long, k: Int, size: Int): Unit =
     bb.putLong(SerialVersion).putLong(typeTag).putLong(keyHash)
-      .putLong(hashes.length.toLong).putLong(size.toLong)
-    var i = 0
-    while (i < size) { bb.putLong(hashes(i)); i += 1 }
-    i = 0
-    while (i < size) { bb.putLong(values(i)); i += 1 }
-    bb.array()
-  }
+      .putLong(k.toLong).putLong(size.toLong)
 
-  /** Returns (hashes[k], values[k], size, typeTag, keyHash). Validates
-    * version, ranges BEFORE narrowing, declared-vs-actual length, and
-    * strict ascending unsigned hash order (the structural invariant). */
-  def fromBytes(bytes: Array[Byte]): (Array[Long], Array[Long], Int, Long, Long) = {
+  /** Shared header decode + validation. Returns (typeTag, keyHash, k, size). */
+  private def readHeader(bytes: Array[Byte], bb: ByteBuffer): (Long, Long, Int, Int) = {
     require(bytes.length >= 40, s"BottomK serialized size ${bytes.length} < header")
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val version = bb.getLong()
     require(version == SerialVersion, s"BottomK serialized version $version")
     val typeTag = bb.getLong()
@@ -106,12 +109,11 @@ object BottomK {
     val size64 = bb.getLong()
     require(k64 >= 1L && k64 <= (1L << 20), s"BottomK serialized k=$k64 out of range")
     require(size64 >= 0L && size64 <= k64, s"BottomK serialized size=$size64 for k=$k64")
-    val k = k64.toInt
-    val size = size64.toInt
-    require(bytes.length == 40 + 16 * size,
-      s"BottomK serialized length ${bytes.length}, expected ${40 + 16 * size}")
+    (typeTag, keyHash, k64.toInt, size64.toInt)
+  }
+
+  private def readHashes(bb: ByteBuffer, k: Int, size: Int): Array[Long] = {
     val hashes = new Array[Long](k)
-    val values = new Array[Long](k)
     var i = 0
     while (i < size) {
       hashes(i) = bb.getLong()
@@ -119,8 +121,72 @@ object BottomK {
         s"BottomK serialized hashes not strictly ascending at $i")
       i += 1
     }
+    hashes
+  }
+
+  def toBytes(hashes: Array[Long], values: Array[Long], size: Int,
+      typeTag: Long, keyHash: Long): Array[Byte] = {
+    val bb = ByteBuffer.allocate(40 + 16 * size).order(ByteOrder.BIG_ENDIAN)
+    header(bb, typeTag, keyHash, hashes.length, size)
+    var i = 0
+    while (i < size) { bb.putLong(hashes(i)); i += 1 }
     i = 0
+    while (i < size) { bb.putLong(values(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Returns (hashes[k], values[k], size, typeTag, keyHash). Validates
+    * version, ranges BEFORE narrowing, declared-vs-actual length, strict
+    * ascending unsigned hash order, and a fixed-width (non-string) tag. */
+  def fromBytes(bytes: Array[Byte]): (Array[Long], Array[Long], Int, Long, Long) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val (typeTag, keyHash, k, size) = readHeader(bytes, bb)
+    require(typeTag != BlockedBloom.TypeTag.String,
+      "BottomK: string-valued sample payload decoded with the long-layout reader")
+    require(bytes.length == 40 + 16 * size,
+      s"BottomK serialized length ${bytes.length}, expected ${40 + 16 * size}")
+    val hashes = readHashes(bb, k, size)
+    val values = new Array[Long](k)
+    var i = 0
     while (i < size) { values(i) = bb.getLong(); i += 1 }
     (hashes, values, size, typeTag, keyHash)
+  }
+
+  def toBytesStr(hashes: Array[Long], values: Array[Array[Byte]], size: Int,
+      keyHash: Long): Array[Byte] = {
+    var payload = 0
+    var i = 0
+    while (i < size) { payload += 4 + values(i).length; i += 1 }
+    val bb = ByteBuffer.allocate(40 + 8 * size + payload).order(ByteOrder.BIG_ENDIAN)
+    header(bb, BlockedBloom.TypeTag.String, keyHash, hashes.length, size)
+    i = 0
+    while (i < size) { bb.putLong(hashes(i)); i += 1 }
+    i = 0
+    while (i < size) { bb.putInt(values(i).length); bb.put(values(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Returns (hashes[k], values[k], size, keyHash) for the STRING layout. */
+  def fromBytesStr(bytes: Array[Byte]): (Array[Long], Array[Array[Byte]], Int, Long) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val (typeTag, keyHash, k, size) = readHeader(bytes, bb)
+    require(typeTag == BlockedBloom.TypeTag.String,
+      s"BottomK: tag ${BlockedBloom.TypeTag.name(typeTag)} payload decoded with the string-layout reader")
+    require(bytes.length >= 40 + 8 * size,
+      s"BottomK serialized length ${bytes.length} too short for $size hashes")
+    val hashes = readHashes(bb, k, size)
+    val values = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < size) {
+      val len = bb.getInt()
+      require(len >= 0 && len <= bb.remaining(),
+        s"BottomK serialized string length $len exceeds remaining payload")
+      val v = new Array[Byte](len)
+      bb.get(v)
+      values(i) = v
+      i += 1
+    }
+    require(bb.remaining() == 0, s"BottomK serialized trailing ${bb.remaining()} bytes")
+    (hashes, values, size, keyHash)
   }
 }

@@ -577,6 +577,70 @@ object SketchAggs {
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
 
+  /** STRING-valued bottom-k sample buffer (values as UTF-8 byte arrays —
+    * the input schema's `doc_id` IS a string; sampling must not require a
+    * numeric cast). */
+  final case class BottomKStrBuf(hashes: Array[Long], values: Array[Array[Byte]], size: Int)
+
+  /** Mergeable uniform sample of k distinct STRING values per group (same
+    * monoid as [[BottomKLongAgg]]; hash = SipHash-2-4 over UTF-8 bytes, the
+    * Bloom/KMV string convention). */
+  final class BottomKStringAgg(k0: Long, k1: Long, k: Int)
+      extends Aggregator[String, BottomKStrBuf, Array[Byte]] {
+    override def zero: BottomKStrBuf = {
+      val (h, _) = BottomK.emptyBuffers(k)
+      BottomKStrBuf(h, new Array[Array[Byte]](k), 0)
+    }
+    override def reduce(buf: BottomKStrBuf, x: String): BottomKStrBuf = {
+      if (x == null) buf
+      else {
+        val bytes = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val s = BottomK.addG(buf.hashes, buf.values, buf.size, SipHash.hash64(k0, k1, bytes), bytes)
+        if (s == buf.size) buf else BottomKStrBuf(buf.hashes, buf.values, s)
+      }
+    }
+    override def merge(b1: BottomKStrBuf, b2: BottomKStrBuf): BottomKStrBuf = {
+      val (h, v, s) = BottomK.mergeG(b1.hashes, b1.values, b1.size, b2.hashes, b2.values, b2.size)
+      BottomKStrBuf(h, v, s)
+    }
+    override def finish(buf: BottomKStrBuf): Array[Byte] =
+      BottomK.toBytesStr(buf.hashes, buf.values, buf.size, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[BottomKStrBuf] = ExpressionEncoder[BottomKStrBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
+  /** Serialized second-level merge for STRING-valued samples (family
+    * conventions: empty skipped, empty group -> empty array, cross-capacity
+    * folds down, key enforced; the layout tag is enforced by
+    * [[graft.core.BottomK.fromBytesStr]] itself). */
+  final class BottomKStringMergeAgg(k0: Long, k1: Long)
+      extends Aggregator[Array[Byte], BottomKStrBuf, Array[Byte]] {
+    override def zero: BottomKStrBuf = BottomKStrBuf(null, null, 0)
+
+    private def decode(x: Array[Byte]): BottomKStrBuf = {
+      val (h, v, s, storedKeyHash) = BottomK.fromBytesStr(x)
+      require(storedKeyHash == kmvKeyHash(k0, k1),
+        "BottomK merge: sample was built with a different SipHash key")
+      BottomKStrBuf(h, v, s)
+    }
+
+    private def mergeBufs(a: BottomKStrBuf, b: BottomKStrBuf): BottomKStrBuf = {
+      if (a.hashes == null) return b
+      if (b.hashes == null) return a
+      val (h, v, s) = BottomK.mergeG(a.hashes, a.values, a.size, b.hashes, b.values, b.size)
+      BottomKStrBuf(h, v, s)
+    }
+
+    override def reduce(buf: BottomKStrBuf, x: Array[Byte]): BottomKStrBuf =
+      if (x == null || x.isEmpty) buf else mergeBufs(buf, decode(x))
+    override def merge(b1: BottomKStrBuf, b2: BottomKStrBuf): BottomKStrBuf = mergeBufs(b1, b2)
+    override def finish(buf: BottomKStrBuf): Array[Byte] =
+      if (buf.hashes == null) Array.emptyByteArray
+      else BottomK.toBytesStr(buf.hashes, buf.values, buf.size, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[BottomKStrBuf] = ExpressionEncoder[BottomKStrBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
   /** Decoded bottom-k merge buffer (`hashes == null` = empty). */
   final case class BottomKMergeBuf(
       hashes: Array[Long], values: Array[Long], size: Int, typeTag: Long)

@@ -343,6 +343,8 @@ object GraftFunctions {
       SketchReaders.heavyHitterSummaryBuilder _),
     (SketchReaders.SampleValuesName, classOf[BottomKValuesExpr],
       SketchReaders.sampleValuesBuilder _),
+    (SketchReaders.SampleStringsName, classOf[BottomKStringsExpr],
+      SketchReaders.sampleStringsBuilder _),
     (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _),
     (VectorFunctions.SrpBandsName, classOf[SrpBandsExpr], VectorFunctions.srpBandsBuilder _))
 
@@ -389,6 +391,10 @@ object GraftFunctions {
       udaf(new BottomKLongAgg(Keys.DefaultK0, Keys.DefaultK1, 64), ExpressionEncoder[Long]()))
     spark.udf.register("graft_sample_merge",
       udaf(new BottomKMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_sample_bottomk_str",
+      udaf(new BottomKStringAgg(Keys.DefaultK0, Keys.DefaultK1, 64), ExpressionEncoder[String]()))
+    spark.udf.register("graft_sample_str_merge",
+      udaf(new BottomKStringMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_hll_merge",
       udaf(new graft.jobs.HllBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_cms_merge",

@@ -559,6 +559,46 @@ case class BottomKValuesExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_sample_strings(sample)` -> `array<string>` — the string-valued
+  * bottom-k sample's values in hash order (uniform random permutation for
+  * a fixed key). Same cache/codegen/empty-payload shape as
+  * [[BottomKValuesExpr]]. */
+case class BottomKStringsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sample_strings"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"sample argument must be BINARY, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cache =
+    new ReaderCache[org.apache.spark.sql.catalyst.util.GenericArrayData](bytes => {
+      val (_, v, s, _) = BottomK.fromBytesStr(bytes)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.take(s).map(b => UTF8String.fromBytes(b): Any))
+    })
+
+  def values(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    cache.get(bytes)
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null else values(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("bottomKStrings", this, classOf[BottomKStringsExpr].getName)
+    nullSafeCodeGen(ctx, ev, b =>
+      EmptyNull.guard(ev, b, s"${ev.value} = $selfRef.values($b);"))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchReaders {
 
   val HllEstimateName = "graft_hll_estimate"
@@ -575,6 +615,7 @@ object SketchReaders {
   val KmvUnionName = "graft_kmv_union"
   val HeavyHitterSummaryName = "graft_heavyhitter_summary"
   val SampleValuesName = "graft_sample_values"
+  val SampleStringsName = "graft_sample_strings"
 
   // optional-key literal parsing shared with the other builders
   private def keyLit(e: Expression): Option[Long] = GraftFunctions.keyLit(e)
@@ -644,6 +685,11 @@ object SketchReaders {
     case _ => throw new IllegalArgumentException(s"$SampleValuesName expects (sample BINARY)")
   }
 
+  private[plans] def sampleStringsBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => BottomKStringsExpr(s)
+    case _ => throw new IllegalArgumentException(s"$SampleStringsName expects (sample BINARY)")
+  }
+
   private[plans] def rankBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, x) => RankReadExpr(s, asDouble(x), isKll)
     case _ => throw new IllegalArgumentException(
@@ -668,4 +714,5 @@ object SketchReaders {
   def kmvUnion(a: Column, b: Column): Column = call_function(KmvUnionName, a, b)
   def heavyHitterSummary(sketch: Column): Column = call_function(HeavyHitterSummaryName, sketch)
   def sampleValues(sample: Column): Column = call_function(SampleValuesName, sample)
+  def sampleStrings(sample: Column): Column = call_function(SampleStringsName, sample)
 }

@@ -374,6 +374,39 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged === direct, "serialized two-level merge must reproduce the direct sample")
   }
 
+  test("BottomK string sample agg: distributed = serial bytes, SQL read-back, merge identity") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val elems = (0 until 4000).map(i => s"doc-${i * 13 % 3701}")
+    // serial truth
+    val (sh, _) = BottomK.emptyBuffers(64)
+    val sv = new Array[Array[Byte]](64)
+    var ss = 0
+    elems.foreach { e =>
+      val b = e.getBytes("UTF-8")
+      ss = BottomK.addG(sh, sv, ss, SipHash.hash64(K0, K1, b), b)
+    }
+    val serialBytes = BottomK.toBytesStr(sh, sv, ss, SipHash.hashLong(K0, K1, K0 ^ K1))
+    for (parts <- Seq(1, 4)) {
+      val agg = udaf(new BottomKStringAgg(K0, K1, 64), ExpressionEncoder[String]())
+      val bytes = elems.toDF("x").repartition(parts).agg(agg(col("x")))
+        .head().getAs[Array[Byte]](0)
+      assert(bytes.sameElements(serialBytes), s"string BottomK at $parts partitions != serial")
+    }
+    // SQL surface + serialized merge identity
+    elems.toDF("x").createOrReplaceTempView("bks_in")
+    val direct = spark.sql(
+      "SELECT graft_sample_strings(graft_sample_bottomk_str(x)) FROM bks_in")
+      .head().getSeq[String](0)
+    assert(direct.length === 64 && direct.forall(_.startsWith("doc-")))
+    val merged = spark.sql(
+      """SELECT graft_sample_strings(graft_sample_str_merge(p)) FROM
+        |(SELECT length(x) % 3 AS shard, graft_sample_bottomk_str(x) AS p FROM bks_in
+        | GROUP BY length(x) % 3)""".stripMargin)
+      .head().getSeq[String](0)
+    assert(merged === direct, "serialized string-sample merge must reproduce the direct sample")
+  }
+
   test("runtime-filter queries release their persisted build side (no cache growth)") {
     val before = spark.sparkContext.getPersistentRDDs.size
     SketchQueries.bloomPrefilterSemijoin(spark, "/root/testdata/sf0.001").count()

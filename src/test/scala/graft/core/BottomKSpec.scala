@@ -68,6 +68,42 @@ class BottomKSpec extends AnyFunSuite {
       s"sample mean $mean suspiciously far from ${(n + 1) / 2.0}")
   }
 
+  test("string-valued sample: shared algorithm, string layout roundtrips, cross-layout rejected") {
+    def buildS(k: Int, elems: Iterable[String]): (Array[Long], Array[Array[Byte]], Int) = {
+      val (h, _) = BottomK.emptyBuffers(k)
+      val v = new Array[Array[Byte]](k)
+      var s = 0
+      elems.foreach { e =>
+        val b = e.getBytes("UTF-8")
+        s = BottomK.addG(h, v, s, SipHash.hash64(k0, k1, b), b)
+      }
+      (h, v, s)
+    }
+    val elems = (1 to 300).map(i => s"doc-$i")
+    val (h, v, s) = buildS(16, elems ++ elems) // duplicates never grow it
+    assert(s === 16)
+    (0 until s).foreach(i => assert(h(i) === SipHash.hash64(k0, k1, v(i))))
+    // split-merge == single build (the generic merge path)
+    val (ah, av, as) = buildS(16, elems.take(100))
+    val (bh, bv, bs) = buildS(16, elems.drop(100))
+    val (mh, mv, ms) = BottomK.mergeG(ah, av, as, bh, bv, bs)
+    assert(ms === s && mh.take(ms).sameElements(h.take(s)))
+    (0 until ms).foreach(i => assert(mv(i).sameElements(v(i))))
+    // string layout roundtrip, byte-deterministic
+    val bytes = BottomK.toBytesStr(h, v, s, 0xabcL)
+    val (h2, v2, s2, keyHash) = BottomK.fromBytesStr(bytes)
+    assert(s2 === s && keyHash === 0xabcL && h2.take(s).sameElements(h.take(s)))
+    (0 until s).foreach(i => assert(v2(i).sameElements(v(i))))
+    assert(BottomK.toBytesStr(h2, v2, s2, keyHash).sameElements(bytes))
+    // each decoder refuses the other layout's tag
+    intercept[IllegalArgumentException](BottomK.fromBytes(bytes))
+    val (lh, lv, ls) = build(16, 1L to 100L)
+    val longBytes = BottomK.toBytes(lh, lv, ls, BlockedBloom.TypeTag.Long, 0xabcL)
+    intercept[IllegalArgumentException](BottomK.fromBytesStr(longBytes))
+    // truncated string payload rejected
+    intercept[IllegalArgumentException](BottomK.fromBytesStr(bytes.take(bytes.length - 3)))
+  }
+
   test("serialization roundtrips; corrupt headers and unsorted payloads rejected") {
     val (h, v, s) = build(64, 1L to 200L)
     val bytes = BottomK.toBytes(h, v, s, BlockedBloom.TypeTag.Long, 0xabcL)
