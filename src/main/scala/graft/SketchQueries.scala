@@ -618,10 +618,14 @@ object SketchQueries {
     val entries = meta.select(col("source"), col("d"), explode(col("entries")).as("e"))
       .select(col("source"), col("d"), col("e.key").as("key"), col("e.est").as("est"))
     val exact = stream.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))
-    // (1) stored-key sandwich: est <= cnt <= est + D
-    val sandwich = entries.join(exact, Seq("source", "key"))
+    // (1) stored-key sandwich: est <= cnt <= est + D. LEFT join so a stored
+    // key with NO exact counterpart (a corrupt summary) produces a FALSE
+    // row — an inner join would silently drop it and the group could pass
+    // vacuously (review r4)
+    val sandwich = entries.join(exact, Seq("source", "key"), "left")
       .groupBy(col("source"))
-      .agg(min(col("est") <= col("cnt") && col("cnt") <= col("est") + col("d")).as("sandwich_ok"))
+      .agg(min(col("cnt").isNotNull &&
+        col("est") <= col("cnt") && col("cnt") <= col("est") + col("d")).as("sandwich_ok"))
     // (2) guaranteed presence: no key with cnt > D missing from the summary
     val missed = exact
       .join(meta.select(col("source"), col("d")), "source")
@@ -629,9 +633,11 @@ object SketchQueries {
       .join(entries.select(col("source"), col("key")), Seq("source", "key"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_missed"))
     // (3) the error budget: D * capacity <= N
-    // LEFT join + coalesce(true) on the sandwich: an empty summary (inserts
-    // can decrement every counter away) satisfies it vacuously; an inner
-    // join would drop the group's row and break the oracle's enumeration
+    // LEFT join + coalesce(true) on the sandwich: with the sandwich itself
+    // LEFT-joined above, a missing sandwich row can ONLY mean a summary
+    // with zero stored entries (inserts can decrement every counter away)
+    // — vacuously within bound; any corrupt non-empty summary produces a
+    // FALSE sandwich row instead of a missing one
     meta.select(col("source"), (col("d") * capacity <= col("n")).as("budget_ok"))
       .join(sandwich, Seq("source"), "left")
       .join(missed, Seq("source"), "left")
@@ -693,8 +699,12 @@ object SketchQueries {
     val strAggU = udaf(new BottomKStringAgg(K0, K1, k), ExpressionEncoder[String]())
     val strMergeU = udaf(new BottomKStringMergeAgg(K0, K1), binaryEnc)
     val strDirect = docsStr.groupBy(col("source")).agg(strAggU(col("doc_id_str")).as("ssk"))
+    // cast-free shard key (the variant's whole point is non-numeric ids):
+    // the native SipHash over the STRING spreads shards uniformly with no
+    // ANSI-mode cast hazard
     val strTwoLevel = docsStr
-      .groupBy(col("source"), pmod(col("doc_id_str").cast("long"), lit(5L)).as("shard"))
+      .groupBy(col("source"),
+        pmod(GraftFunctions.sipHash64(col("doc_id_str")), lit(5L)).as("shard"))
       .agg(strAggU(col("doc_id_str")).as("partial"))
       .groupBy(col("source")).agg(strMergeU(col("partial")).as("ssk_merged"))
     val strWithVals = strDirect.select(col("source"), col("ssk"),

@@ -172,12 +172,16 @@ object BottomK {
     val (typeTag, keyHash, k, size) = readHeader(bytes, bb)
     require(typeTag == BlockedBloom.TypeTag.String,
       s"BottomK: tag ${BlockedBloom.TypeTag.name(typeTag)} payload decoded with the string-layout reader")
-    require(bytes.length >= 40 + 8 * size,
-      s"BottomK serialized length ${bytes.length} too short for $size hashes")
+    // each value carries at least its 4-byte length prefix; checking 12*size
+    // up front (and remaining() per prefix below) turns every truncation
+    // into a require failure, never a raw BufferUnderflowException
+    require(bytes.length >= 40 + 12 * size,
+      s"BottomK serialized length ${bytes.length} too short for $size string entries")
     val hashes = readHashes(bb, k, size)
     val values = new Array[Array[Byte]](k)
     var i = 0
     while (i < size) {
+      require(bb.remaining() >= 4, s"BottomK serialized payload truncated at entry $i")
       val len = bb.getInt()
       require(len >= 0 && len <= bb.remaining(),
         s"BottomK serialized string length $len exceeds remaining payload")

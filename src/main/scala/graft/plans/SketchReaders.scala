@@ -66,6 +66,16 @@ private[plans] object EmptyNull {
        |  $assign
        |}
      """.stripMargin
+
+  /** Two-operand variant: NULL out if EITHER payload is empty. */
+  def guard2(ev: ExprCode, aVar: String, bVar: String, assign: String): String =
+    s"""
+       |if ($aVar.length == 0 || $bVar.length == 0) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  $assign
+       |}
+     """.stripMargin
 }
 
 /** `graft_hll_estimate(sketch)` -> double. The O(m) register scan runs once
@@ -395,13 +405,7 @@ case class KmvPairExpr(left: Expression, right: Expression, op: KmvPairExpr.Op)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("kmvPair", this, classOf[KmvPairExpr].getName)
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""
-         |if ($a.length == 0 || $b.length == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $selfRef.compute($a, $b);
-         |}
-       """.stripMargin)
+      EmptyNull.guard2(ev, a, b, s"${ev.value} = $selfRef.compute($a, $b);"))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

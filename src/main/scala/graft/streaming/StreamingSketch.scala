@@ -363,9 +363,12 @@ object StreamingSketch {
         col("source"), col("doc_id"), explode(col("tokens")).as("token"))
       .select(col("win"), col("source"), blowup(col("token"), col("doc_id")).as("key"))
       .groupBy(col("win"), col("source"), col("key")).agg(count(lit(1)).as("cnt"))
-    val sandwich = entries.join(exact, Seq("win", "source", "key"))
+    // LEFT join: a stored key with no exact counterpart (corrupt summary)
+    // must yield a FALSE row, not silently vanish from the min()
+    val sandwich = entries.join(exact, Seq("win", "source", "key"), "left")
       .groupBy(col("win"), col("source"))
-      .agg(min(col("est") <= col("cnt") && col("cnt") <= col("est") + col("d")).as("sandwich_ok"))
+      .agg(min(col("cnt").isNotNull &&
+        col("est") <= col("cnt") && col("cnt") <= col("est") + col("d")).as("sandwich_ok"))
     val missed = exact
       .join(meta.select(col("win"), col("source"), col("d")), Seq("win", "source"))
       .where(col("cnt") > col("d"))
@@ -373,10 +376,11 @@ object StreamingSketch {
         Seq("win", "source", "key"), "left_anti")
       .groupBy(col("win"), col("source")).agg(count(lit(1)).as("n_missed"))
     meta.select(col("win"), col("source"), (col("d") * capacity <= col("n")).as("budget_ok"))
-      // LEFT join + coalesce(true): a summary can legitimately end EMPTY
-      // (inserts can decrement every counter to zero), in which case the
-      // sandwich is vacuously satisfied — an inner join would silently
-      // drop the (window, source) row and break the oracle's enumeration
+      // LEFT join + coalesce(true): with the sandwich itself LEFT-joined to
+      // exact, a missing sandwich row can ONLY mean an EMPTY summary
+      // (inserts can decrement every counter to zero) — vacuously within
+      // bound; corrupt non-empty summaries produce FALSE rows. An inner
+      // join would drop the (window, source) row and break the enumeration
       .join(sandwich, Seq("win", "source"), "left")
       .join(missed, Seq("win", "source"), "left")
       .select(col("win"), col("source"),
