@@ -40,6 +40,51 @@ object FrequentItemsPropertiesSpec extends Properties("FrequentItems") {
       checkInvariants(s, xs)
     }
 
+  // weighted stream: (key, weight >= 0); N = total weight
+  private val genWeighted: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 2000)
+    xs <- Gen.listOfN(n, Gen.zip(
+      Gen.frequency(3 -> Gen.choose(0L, 5L), 1 -> Gen.choose(0L, 50000L)),
+      Gen.choose(0L, 500L)))
+  } yield xs
+
+  private def checkWeighted(s: FrequentItems.Summary, xs: Seq[(Long, Long)]): Prop = {
+    val exact = xs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val d = s.decremented
+    Prop.all(
+      Prop(s.size <= s.capacity) :| "capacity respected",
+      Prop(s.total == xs.map(_._2).sum) :| "N = total WEIGHT, exact",
+      Prop(d * s.capacity <= s.total) :| "D*cap <= N",
+      Prop(s.entries.forall { case (k, est) =>
+        val t = exact.getOrElse(k, 0L)
+        est <= t && t <= est + d
+      }) :| "weighted sandwich",
+      Prop(exact.forall { case (k, t) => t <= d || s.contains(k) }) :| "mass > D => present")
+  }
+
+  property("WEIGHTED invariants hold for arbitrary (key, weight) streams and splits") =
+    Prop.forAll(genCapacity, genWeighted, Gen.choose(1, 6)) { (cap, xs, parts) =>
+      val single = new FrequentItems.Summary(cap)
+      xs.foreach { case (k, w) => single.add(k, w) }
+      val partials = xs.zipWithIndex.groupBy(_._2 % parts).toSeq.sortBy(_._1).map { case (_, chunk) =>
+        val s = new FrequentItems.Summary(cap)
+        chunk.foreach { case ((k, w), _) => s.add(k, w) }
+        FrequentItems.fromBytes(FrequentItems.toBytes(s))
+      }
+      val merged = partials.reduceOption((a, b) => a.mergeInPlace(b))
+        .getOrElse(new FrequentItems.Summary(cap))
+      checkWeighted(single, xs) && checkWeighted(merged, xs)
+    }
+
+  property("negative weights are rejected; zero weights are no-ops") =
+    Prop.forAll(Gen.choose(1L, 100L)) { k =>
+      val s = new FrequentItems.Summary(4)
+      s.add(k, 0L)
+      val zeroOk = s.total == 0L && s.size == 0
+      val rejected = scala.util.Try(s.add(k, -1L)).isFailure
+      Prop(zeroOk && rejected)
+    }
+
   property("invariants survive arbitrary splits + merges + serialization roundtrips") =
     Prop.forAll(genCapacity, genStream, Gen.choose(1, 9)) { (cap, xs, parts) =>
       val partials = xs.zipWithIndex.groupBy(_._2 % parts).toSeq.sortBy(_._1).map { case (_, chunk) =>
