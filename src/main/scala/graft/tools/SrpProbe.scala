@@ -81,6 +81,33 @@ object SrpProbe {
       require(u == n, s"udf/native band checksum mismatch: $u vs $n")
     }
     big.unpersist()
+
+    // ---- text-kernel boundary probe: is the MinHash-signature UDF's cost
+    // the KERNEL (shingling + 128 minhash per doc) or the UDF encoder
+    // boundary? Compare the real signature UDF against a boundary-only UDF
+    // (same String argument crossing the same encoder, trivial body). If
+    // the boundary-only lap is a small fraction, converting the text
+    // kernels to native expressions buys nothing (contrast: banding above,
+    // where the boundary WAS the cost).
+    val nDocs = sys.env.getOrElse("SPARK_SRP_PROBE_DOCS", "200000").toLong
+    val texts = graft.Bench.lshStressCorpus(spark, nDocs, 32).persist()
+    texts.count()
+    val sigUdf = udf { (t: String) =>
+      val words = t.split(' ').filter(_.nonEmpty)
+      graft.core.MinHash.signature(graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1,
+        graft.core.MinHash.wordShingles(words, 3), 128)
+    }
+    val boundaryUdf = udf { (t: String) => t.length }
+    for (round <- 1 to 3) {
+      println(s"--- text kernel round $round ($nDocs docs) ---")
+      // pmod keeps the consuming sum from overflowing (signature components
+      // span the full 64-bit range)
+      time("minhash signature udf")(
+        texts.select(sum(pmod(element_at(sigUdf(col("text")), 1), lit(1000000L)))).head())
+      time("boundary-only udf")(
+        texts.select(sum(boundaryUdf(col("text")).cast("long"))).head())
+    }
+    texts.unpersist()
     spark.stop()
   }
 }
