@@ -354,7 +354,7 @@ object Bench {
     // complete JSON (headline + queries) is also written to
     // BENCH/BENCH_last_full.json as the sidecar of record.
     val headline =
-      f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","queries_sec":$totalSec%.3f,"n_queries":${queries.length}%d,"sf":"$sfDir%s",""" +
+      f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec","n_queries":${queries.length}%d,"sf":"$sfDir%s",""" +
         s""""sketch_build_tokens":$totalTokens,$levelJson,""" +
         f""""scaling_levels":"${levels.mkString(",")}%s",""" +
         f""""scaling_rounds":${secsByLevel(l0).length}%d,""" +

@@ -62,6 +62,62 @@ object PipelineQueries {
     found.agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Near-dup CLUSTER resolution — the operator a training-data pipeline
+    * runs immediately after LSH: verified pairs -> connected components ->
+    * deterministic min-id winner per cluster -> keep-set. Per source
+    * (every column exact; DuckDB recomputes the components via a recursive
+    * CTE over the exact all-pairs Jaccard graph):
+    *  - n_docs: documents in the source;
+    *  - n_dup_docs: documents belonging to some near-dup cluster;
+    *  - n_clusters: clusters whose canonical winner lives in this source;
+    *  - n_kept: documents surviving [[TextPipeline.keepAfterClusterDedup]]
+    *    (== n_docs - n_dup_docs + clusters won, checked by the oracle);
+    *  - deterministic: the (id -> cluster) assignment is IDENTICAL when
+    *    the pair input is first repartitioned (merge-order invariance of
+    *    the label propagation).
+    * The tiny per-source result is materialized before the persisted
+    * iteration frames are released (unpersist-in-finally convention). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val pairs = TextPipeline.minHashNearDups(d, "doc_id", "text",
+      shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val cc = TextPipeline.connectedComponents(pairs)
+    val ccRepart = TextPipeline.connectedComponents(pairs.repartition(7, col("doc_a")))
+    try {
+      // bool AND via min(); full outer so a node present in only one run
+      // (impossible when deterministic) forces false, not a dropped row
+      val det = cc
+        .join(ccRepart.withColumnRenamed("cluster", "cluster_r"), Seq("id"), "full_outer")
+        .agg(coalesce(min(coalesce(col("cluster") === col("cluster_r"), lit(false))), lit(true))
+          .as("deterministic"))
+      val docsBase = d.select(col("doc_id"), col("source"))
+      val withCluster = docsBase
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      val keptPerSource =
+        TextPipeline.keepAfterClusterDedup(docsBase, "doc_id", cc)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val result = withCluster
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("cluster")).as("n_dup_docs"),
+          count(when(col("cluster") === col("doc_id"), lit(1))).as("n_clusters"))
+        .join(keptPerSource, "source")
+        .crossJoin(broadcast(det))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          col("n_clusters"), col("n_kept"), col("deterministic"))
+        .orderBy(col("source"))
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      cc.unpersist()
+      ccRepart.unpersist()
+      pairs.unpersist()
+    }
+  }
+
   /** SimHash near-dup surface, emitted as its exact invariants (hamming
     * distances of keyed hashes are not SQL-expressible, so the oracle
     * checks guaranteed booleans, the q_srp_ann_recall pattern):

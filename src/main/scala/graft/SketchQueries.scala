@@ -732,6 +732,78 @@ object SketchQueries {
       .orderBy(col("source"))
   }
 
+  /** WEIGHTED bottom-k sample under the driver gate: k docs per source
+    * with inclusion probability proportional to token count — the
+    * training-data mixture op ("sample k docs per source weighted by
+    * n_tok") as a mergeable Efraimidis–Spirakis sketch
+    * ([[graft.core.BottomK.esKey]]) instead of the full-shuffle
+    * `ORDER BY -ln(rand())/w` window. Emitted booleans (all exact):
+    *  1. size_ok — sample size == min(k, docs with positive weight);
+    *  2. members_ok — every sampled id is a positive-weight doc of the
+    *     source;
+    *  3. partition_invariant — byte-identical under input repartition;
+    *  4. merge_matches_direct — serialized two-level
+    *     `BottomKWeightedMergeAgg` ≡ direct build, byte-identical;
+    *  5. matches_exact_topk — the sampled id set EQUALS an independent
+    *     per-row recomputation of the k smallest ES keys, where the key
+    *     -ln(u)/w is rebuilt from scratch in SQL (native `graft_sip_hash64`
+    *     + double arithmetic; Spark's `log` and the aggregator's
+    *     `math.log` are the same `Math.log`, so the doubles match
+    *     bit-for-bit). This pins the weighting MECHANISM exactly; the
+    *     w_i/Σw inclusion-probability statistics are property-tested
+    *     across varied SipHash keys in BottomKPropertiesSpec.
+    * At 100 TB: the operator branch is one partial-aggregated groupBy
+    * shuffling <= k-entry summaries; the window-ranked branch exists only
+    * for gate 5. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerExpressions(spark)
+    val k = 16
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= lit(""))).cast("long").as("w"))
+      .where(col("w") > 0L)
+    val aggW = udaf(new BottomKWeightedLongAgg(K0, K1, k), ExpressionEncoder[(Long, Long)]())
+    val mergeW = udaf(new BottomKWeightedMergeAgg(K0, K1), binaryEnc)
+    val direct = docs.groupBy(col("source")).agg(aggW(col("doc_id"), col("w")).as("sk"))
+    val repart = docs.repartition(7, col("doc_id"))
+      .groupBy(col("source")).agg(aggW(col("doc_id"), col("w")).as("sk_repart"))
+    val twoLevel = docs
+      .groupBy(col("source"), pmod(col("doc_id"), lit(5L)).as("shard"))
+      .agg(aggW(col("doc_id"), col("w")).as("partial"))
+      .groupBy(col("source")).agg(mergeW(col("partial")).as("sk_merged"))
+    val exact = docs.groupBy(col("source")).agg(countDistinct(col("doc_id")).as("nd"))
+    val withVals = direct.select(col("source"), col("sk"),
+      SketchReaders.sampleWeightedValues(col("sk")).as("vals"))
+    val nonMembers = withVals
+      .select(col("source"), explode(col("vals")).as("doc_id"))
+      .join(docs, Seq("source", "doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_bad"))
+    // gate 5: rebuild every ES key from first principles in SQL and rank
+    val u = (shiftrightunsigned(
+        GraftFunctions.sipHash64(col("doc_id"), K0, K1), 11).cast("double") + lit(1.0)) /
+      lit(9007199254740992.0) // 2^53 — u in (0, 1], matching BottomK.esKey
+    val esKeyCol = -log(u) / col("w").cast("double")
+    val ranked = docs
+      .withColumn("es_key", esKeyCol)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("es_key"), col("doc_id"))))
+      .where(col("rn") <= k)
+      .groupBy(col("source")).agg(sort_array(collect_list(col("doc_id"))).as("expected"))
+    withVals
+      .join(exact, "source")
+      .join(repart, "source")
+      .join(twoLevel, "source")
+      .join(nonMembers, Seq("source"), "left")
+      .join(ranked, "source")
+      .select(col("source"),
+        (size(col("vals")) === least(lit(k), col("nd"))).as("size_ok"),
+        (coalesce(col("n_bad"), lit(0L)) === 0L).as("members_ok"),
+        (col("sk") === col("sk_repart")).as("partition_invariant"),
+        (col("sk") === col("sk_merged")).as("merge_matches_direct"),
+        (sort_array(col("vals")) === col("expected")).as("matches_exact_topk"))
+      .orderBy(col("source"))
+  }
+
   /** Exact dedup: distinct texts per source (hash-groupBy dedup baseline). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -52,10 +52,14 @@ object SparkEntry {
     "q_token_count_exact" -> (SketchQueries.tokenCountExact _),
     "q_dedup_exact" -> (SketchQueries.dedupExact _),
     "q_sample_bottomk" -> (SketchQueries.sampleBottomK _),
+    // Efraimidis–Spirakis weighted sample: k docs per source, P ∝ n_tok
+    "q_sample_weighted" -> (SketchQueries.sampleWeighted _),
     // dedup family
     "q_fingerprint_dedup" -> (PipelineQueries.fingerprintDedup _),
     "q_exact_dup_pairs" -> (PipelineQueries.exactDupPairs _),
     "q_minhash_lsh_dups" -> (PipelineQueries.minhashLshDups _),
+    // pairs -> connected components -> deterministic winner -> keep-set
+    "q_dedup_clusters" -> (PipelineQueries.dedupClusters _),
     "q_simhash_dups" -> (PipelineQueries.simhashDups _),
     // text analysis
     "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
@@ -156,6 +160,41 @@ object SparkEntry {
           "true AS partition_invariant, true AS merge_matches_direct, " +
           "true AS str_size_ok, true AS str_members_ok, true AS str_merge_matches_direct " +
           "FROM documents GROUP BY source ORDER BY source"),
+      // weighted (Efraimidis–Spirakis) sample gate: same exact-boolean
+      // shape; gate 5 additionally pins the sample to an independent SQL
+      // recomputation of the k smallest -ln(u)/w keys (see sampleWeighted)
+      "q_sample_weighted" ->
+        ("SELECT source, true AS size_ok, true AS members_ok, " +
+          "true AS partition_invariant, true AS merge_matches_direct, " +
+          "true AS matches_exact_topk " +
+          "FROM documents WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0 " +
+          "GROUP BY source ORDER BY source"),
+      // near-dup cluster resolution: DuckDB recomputes the components
+      // EXACTLY — recursive-CTE transitive closure over the exact
+      // all-pairs Jaccard graph (same pair CTE as q_minhash_lsh_dups),
+      // label = min reachable id, winner = label, keep-set = unclustered
+      // plus winners. Clusters may span sources; a cluster counts toward
+      // the source its WINNER lives in.
+      "q_dedup_clusters" ->
+        ("WITH RECURSIVE " +
+          "w AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "g AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[]) " +
+          "WHEN len(ws) < 3 THEN [array_to_string(ws, chr(1))] " +
+          "ELSE list_distinct([array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws)-1)]) END AS sh FROM w), " +
+          "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM g a JOIN g b " +
+          "ON a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0 " +
+          "AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4 " +
+          "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8), " +
+          "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), " +
+          "reach AS (SELECT a AS node, b AS r FROM e UNION SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a), " +
+          "lab AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node), " +
+          "j AS (SELECT w.doc_id, w.source, lab.cluster FROM w LEFT JOIN lab ON w.doc_id = lab.node) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(count(cluster) AS BIGINT) AS n_dup_docs, " +
+          "CAST(count(CASE WHEN cluster = doc_id THEN 1 END) AS BIGINT) AS n_clusters, " +
+          "CAST(count(CASE WHEN cluster IS NULL OR cluster = doc_id THEN 1 END) AS BIGINT) AS n_kept, " +
+          "true AS deterministic " +
+          "FROM j GROUP BY source ORDER BY source"),
       // the SAME regex evaluates in both engines (pattern restricted to the
       // Java-regex ∩ RE2 dialect; see TextPipeline.BpeIshPattern)
       "q_token_count_regex" ->

@@ -87,22 +87,59 @@ object BottomK {
       bH: Array[Long], bV: Array[Long], bSize: Int): (Array[Long], Array[Long], Int) =
     mergeG(aH, aV, aSize, bH, bV, bSize)
 
+  // ------------------------------------------- weighted (ES) sampling keys
+
+  /** Efraimidis–Spirakis weighted-sampling key (ES 2006, "Weighted random
+    * sampling with a reservoir"): for an item with weight w > 0 and a
+    * uniform u in (0, 1], the k items with the LARGEST u^(1/w) — equivalently
+    * the k SMALLEST exponentials -ln(u)/w — form a weighted sample without
+    * replacement (k = 1 inclusion probability is exactly w_i / sum(w)).
+    * u derives deterministically from the item's SipHash (top 53 bits,
+    * shifted into (0, 1]), so the weighted sample inherits every property
+    * of the uniform one: deterministic for a fixed key, order-insensitive,
+    * mergeable by keeping the k smallest keys of a union.
+    *
+    * The exponential is non-negative, and for non-negative IEEE-754
+    * doubles the raw long bits order EXACTLY like the values — so the key
+    * drops into the unsigned-ascending bottom-k machinery unchanged.
+    * (-ln maps u = 1 to bits 0; underflow-to-+Inf on subnormal weights
+    * still orders last.) Weight must be > 0; callers skip w <= 0 rows
+    * (zero sampling mass). */
+  def esKey(hash: Long, weight: Double): Long = {
+    require(weight > 0.0, s"BottomK.esKey: weight must be > 0, got $weight")
+    val u = ((hash >>> 11) + 1).toDouble / 9007199254740992.0 // 2^53, u in (0, 1]
+    java.lang.Double.doubleToLongBits(-math.log(u) / weight)
+  }
+
   // --- serialization: [version, typeTag, keyHash, k, size] BE header +
   //     hashes[size] + values. LONG layout: values are fixed 8-byte; STRING
   //     layout: each value is (int length, UTF-8 bytes). The typeTag picks
   //     the layout, and each decoder REFUSES the other's tag — a string
-  //     payload must not be misparsed as longs. ---
+  //     payload must not be misparsed as longs. Version 1 = uniform sample
+  //     (slot 1 holds the element's SipHash); version 2 = ES-WEIGHTED
+  //     sample (slot 1 holds the exponential key's double bits) — same
+  //     byte layout, but the two must never merge, so each decoder
+  //     REFUSES the other's version. ---
   final val SerialVersion = 1L
+  final val SerialVersionWeighted = 2L
 
-  private def header(bb: ByteBuffer, typeTag: Long, keyHash: Long, k: Int, size: Int): Unit =
-    bb.putLong(SerialVersion).putLong(typeTag).putLong(keyHash)
+  private def header(bb: ByteBuffer, version: Long, typeTag: Long, keyHash: Long,
+      k: Int, size: Int): Unit =
+    bb.putLong(version).putLong(typeTag).putLong(keyHash)
       .putLong(k.toLong).putLong(size.toLong)
 
+  private def versionName(v: Long): String =
+    if (v == SerialVersionWeighted) "weighted" else "uniform"
+
   /** Shared header decode + validation. Returns (typeTag, keyHash, k, size). */
-  private def readHeader(bytes: Array[Byte], bb: ByteBuffer): (Long, Long, Int, Int) = {
+  private def readHeader(bytes: Array[Byte], bb: ByteBuffer,
+      expectVersion: Long): (Long, Long, Int, Int) = {
     require(bytes.length >= 40, s"BottomK serialized size ${bytes.length} < header")
     val version = bb.getLong()
-    require(version == SerialVersion, s"BottomK serialized version $version")
+    require(version == expectVersion,
+      s"BottomK serialized version $version (${versionName(version)}): " +
+        s"expected ${versionName(expectVersion)} sample — uniform and ES-weighted " +
+        "samples must not mix")
     val typeTag = bb.getLong()
     val keyHash = bb.getLong()
     val k64 = bb.getLong()
@@ -124,10 +161,10 @@ object BottomK {
     hashes
   }
 
-  def toBytes(hashes: Array[Long], values: Array[Long], size: Int,
+  private def toBytesV(version: Long, hashes: Array[Long], values: Array[Long], size: Int,
       typeTag: Long, keyHash: Long): Array[Byte] = {
     val bb = ByteBuffer.allocate(40 + 16 * size).order(ByteOrder.BIG_ENDIAN)
-    header(bb, typeTag, keyHash, hashes.length, size)
+    header(bb, version, typeTag, keyHash, hashes.length, size)
     var i = 0
     while (i < size) { bb.putLong(hashes(i)); i += 1 }
     i = 0
@@ -135,12 +172,21 @@ object BottomK {
     bb.array()
   }
 
-  /** Returns (hashes[k], values[k], size, typeTag, keyHash). Validates
-    * version, ranges BEFORE narrowing, declared-vs-actual length, strict
-    * ascending unsigned hash order, and a fixed-width (non-string) tag. */
-  def fromBytes(bytes: Array[Byte]): (Array[Long], Array[Long], Int, Long, Long) = {
+  def toBytes(hashes: Array[Long], values: Array[Long], size: Int,
+      typeTag: Long, keyHash: Long): Array[Byte] =
+    toBytesV(SerialVersion, hashes, values, size, typeTag, keyHash)
+
+  /** ES-weighted layout: identical bytes, version 2 (the hash slot holds
+    * exponential-key double bits, not element hashes — the decoders keep
+    * the two populations apart). */
+  def toBytesWeighted(hashes: Array[Long], values: Array[Long], size: Int,
+      typeTag: Long, keyHash: Long): Array[Byte] =
+    toBytesV(SerialVersionWeighted, hashes, values, size, typeTag, keyHash)
+
+  private def fromBytesV(bytes: Array[Byte],
+      expectVersion: Long): (Array[Long], Array[Long], Int, Long, Long) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    val (typeTag, keyHash, k, size) = readHeader(bytes, bb)
+    val (typeTag, keyHash, k, size) = readHeader(bytes, bb, expectVersion)
     require(typeTag != BlockedBloom.TypeTag.String,
       "BottomK: string-valued sample payload decoded with the long-layout reader")
     require(bytes.length == 40 + 16 * size,
@@ -152,13 +198,23 @@ object BottomK {
     (hashes, values, size, typeTag, keyHash)
   }
 
+  /** Returns (hashes[k], values[k], size, typeTag, keyHash). Validates
+    * version, ranges BEFORE narrowing, declared-vs-actual length, strict
+    * ascending unsigned hash order, and a fixed-width (non-string) tag. */
+  def fromBytes(bytes: Array[Byte]): (Array[Long], Array[Long], Int, Long, Long) =
+    fromBytesV(bytes, SerialVersion)
+
+  /** Same tuple for the ES-WEIGHTED long layout (version 2). */
+  def fromBytesWeighted(bytes: Array[Byte]): (Array[Long], Array[Long], Int, Long, Long) =
+    fromBytesV(bytes, SerialVersionWeighted)
+
   def toBytesStr(hashes: Array[Long], values: Array[Array[Byte]], size: Int,
       keyHash: Long): Array[Byte] = {
     var payload = 0
     var i = 0
     while (i < size) { payload += 4 + values(i).length; i += 1 }
     val bb = ByteBuffer.allocate(40 + 8 * size + payload).order(ByteOrder.BIG_ENDIAN)
-    header(bb, BlockedBloom.TypeTag.String, keyHash, hashes.length, size)
+    header(bb, SerialVersion, BlockedBloom.TypeTag.String, keyHash, hashes.length, size)
     i = 0
     while (i < size) { bb.putLong(hashes(i)); i += 1 }
     i = 0
@@ -169,7 +225,7 @@ object BottomK {
   /** Returns (hashes[k], values[k], size, keyHash) for the STRING layout. */
   def fromBytesStr(bytes: Array[Byte]): (Array[Long], Array[Array[Byte]], Int, Long) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    val (typeTag, keyHash, k, size) = readHeader(bytes, bb)
+    val (typeTag, keyHash, k, size) = readHeader(bytes, bb, SerialVersion)
     require(typeTag == BlockedBloom.TypeTag.String,
       s"BottomK: tag ${BlockedBloom.TypeTag.name(typeTag)} payload decoded with the string-layout reader")
     // each value carries at least its 4-byte length prefix; checking 12*size

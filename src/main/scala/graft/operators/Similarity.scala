@@ -209,16 +209,19 @@ object Similarity {
       lloydIters: Int = 8, trainSample: Int = 65536): IvfIndex = {
     require(trainSample >= numClusters,
       s"ivfBuild: trainSample ($trainSample) must be >= numClusters ($numClusters)")
-    val hashIdUdf = udf { (id: Long) => SipHash.hashLong(K0, K1, id) }
+    graft.plans.GraftFunctions.registerExpressions(embeddings.sparkSession)
     val e = embeddings.select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
     val sample: Array[Array[Float]] = e
-      .orderBy(hashIdUdf(col("id")), col("id"))
+      .orderBy(graft.plans.GraftFunctions.sipHash64(col("id"), K0, K1), col("id"))
       .limit(trainSample)
       .collect()
       .map(_.getSeq[Float](1).toArray)
     // seeds = the numClusters hash-smallest vectors (unchanged from the
-    // distributed formulation — the sample is a superset of the old seeds)
+    // distributed formulation — the sample is a superset of the old seeds).
+    // A table smaller than numClusters yields fewer centroids, not a crash:
+    // kEff clamps every per-cluster loop to the centroids that exist.
     var centroids = sample.take(numClusters).map(_.clone())
+    val kEff = centroids.length
     val dim = if (sample.isEmpty) 0 else sample.map(_.length).max
     var iter = 0
     while (iter < lloydIters) {
@@ -226,8 +229,8 @@ object Similarity {
       // dim is averaged over the vectors that HAVE it (matching the old
       // distributed posexplode-groupBy mean), and a seed shorter than the
       // longest sampled vector keeps its own length (no out-of-range write)
-      val sums = Array.fill(numClusters)(new Array[Double](dim))
-      val dimCounts = Array.fill(numClusters)(new Array[Long](dim))
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val dimCounts = Array.fill(kEff)(new Array[Long](dim))
       var i = 0
       while (i < sample.length) {
         val v = sample(i)
@@ -240,7 +243,7 @@ object Similarity {
       }
       val next = centroids.map(_.clone())
       var c = 0
-      while (c < numClusters) {
+      while (c < kEff) {
         val limit = math.min(dim, next(c).length)
         var j = 0
         while (j < limit) {

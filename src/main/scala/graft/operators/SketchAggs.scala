@@ -577,6 +577,77 @@ object SketchAggs {
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
 
+  /** WEIGHT-PROPORTIONAL sample of k distinct LONG values per group —
+    * Efraimidis–Spirakis keys ([[graft.core.BottomK.esKey]]) over the
+    * existing bottom-k machinery: input (value, weight), keep the k
+    * smallest -ln(u)/w exponentials. "k docs per source, weight ∝ n_tok"
+    * without the full-shuffle `ORDER BY -ln(rand())/w` window — the
+    * shuffle carries one <= k-entry summary per (partition, group), and
+    * the sample is deterministic for a fixed SipHash key.
+    *
+    * Rows with weight <= 0 are SKIPPED (zero sampling mass). The weight
+    * must be a function of the value (doc_id -> n_tok): a value seen with
+    * two different weights would get two different keys and could appear
+    * twice, exactly like the window formulation it replaces. */
+  final class BottomKWeightedLongAgg(k0: Long, k1: Long, k: Int)
+      extends Aggregator[(Long, Long), BottomKBuf, Array[Byte]] {
+    override def zero: BottomKBuf = {
+      val (h, v) = BottomK.emptyBuffers(k)
+      BottomKBuf(h, v, 0)
+    }
+    override def reduce(buf: BottomKBuf, x: (Long, Long)): BottomKBuf = {
+      if (x._2 <= 0L) buf
+      else {
+        val key = BottomK.esKey(SipHash.hashLong(k0, k1, x._1), x._2.toDouble)
+        val s = BottomK.add(buf.hashes, buf.values, buf.size, key, x._1)
+        if (s == buf.size) buf else BottomKBuf(buf.hashes, buf.values, s)
+      }
+    }
+    override def merge(b1: BottomKBuf, b2: BottomKBuf): BottomKBuf = {
+      val (h, v, s) = BottomK.merge(b1.hashes, b1.values, b1.size, b2.hashes, b2.values, b2.size)
+      BottomKBuf(h, v, s)
+    }
+    override def finish(buf: BottomKBuf): Array[Byte] =
+      BottomK.toBytesWeighted(buf.hashes, buf.values, buf.size,
+        BlockedBloom.TypeTag.Long, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[BottomKBuf] = ExpressionEncoder[BottomKBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
+  /** Serialized second-level merge for ES-WEIGHTED samples (the version-2
+    * layout; [[graft.core.BottomK.fromBytesWeighted]] rejects uniform
+    * payloads, so the two sample populations cannot silently mix). Same
+    * family conventions as [[BottomKMergeAgg]]. */
+  final class BottomKWeightedMergeAgg(k0: Long, k1: Long)
+      extends Aggregator[Array[Byte], BottomKMergeBuf, Array[Byte]] {
+    override def zero: BottomKMergeBuf = BottomKMergeBuf(null, null, 0, 0L)
+
+    private def decode(x: Array[Byte]): BottomKMergeBuf = {
+      val (h, v, s, tag, storedKeyHash) = BottomK.fromBytesWeighted(x)
+      require(storedKeyHash == kmvKeyHash(k0, k1),
+        "BottomK merge: sample was built with a different SipHash key")
+      BottomKMergeBuf(h, v, s, tag)
+    }
+
+    private def mergeBufs(a: BottomKMergeBuf, b: BottomKMergeBuf): BottomKMergeBuf = {
+      if (a.hashes == null) return b
+      if (b.hashes == null) return a
+      require(a.typeTag == b.typeTag,
+        s"BottomK merge: element type mismatch ${a.typeTag} vs ${b.typeTag}")
+      val (h, v, s) = BottomK.merge(a.hashes, a.values, a.size, b.hashes, b.values, b.size)
+      BottomKMergeBuf(h, v, s, a.typeTag)
+    }
+
+    override def reduce(buf: BottomKMergeBuf, x: Array[Byte]): BottomKMergeBuf =
+      if (x == null || x.isEmpty) buf else mergeBufs(buf, decode(x))
+    override def merge(b1: BottomKMergeBuf, b2: BottomKMergeBuf): BottomKMergeBuf = mergeBufs(b1, b2)
+    override def finish(buf: BottomKMergeBuf): Array[Byte] =
+      if (buf.hashes == null) Array.emptyByteArray
+      else BottomK.toBytesWeighted(buf.hashes, buf.values, buf.size, buf.typeTag, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[BottomKMergeBuf] = ExpressionEncoder[BottomKMergeBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
   /** STRING-valued bottom-k sample buffer (values as UTF-8 byte arrays —
     * the input schema's `doc_id` IS a string; sampling must not require a
     * numeric cast). */

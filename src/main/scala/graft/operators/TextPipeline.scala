@@ -153,6 +153,96 @@ object TextPipeline {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------- near-dup cluster resolution
+
+  /** Connected components over a near-dup PAIR graph — the operator a
+    * training-data pipeline runs immediately after LSH verification:
+    * verified pairs -> cluster labels -> one deterministic winner per
+    * cluster. Returns (id, cluster) for every id appearing in a pair,
+    * where cluster = the component's MINIMUM id (the canonical winner,
+    * mirroring [[dedupExactByFingerprint]]'s min-doc_id rule).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round (a) takes the min over own + neighbours' labels, then
+    * (b) shortcuts label <- label(label). Near-dup components are tiny by
+    * construction (mutual near-dups of a common head), so this converges
+    * in O(log diameter) rounds: 2-3 in practice. Each round costs two
+    * shuffle joins on uniformly-hashed ids plus one driver-side changed
+    * count (the standard Spark iterative-CC shape; general graphs with
+    * giant components would want large-star/small-star [Kiveris et al.
+    * 2014], which near-dup graphs never produce).
+    *
+    * The RETURNED frame is persisted — it anchors an iterative lineage;
+    * callers unpersist() it once consumed. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // Iterative plans re-reference each round's frame several times, so the
+    // CATALYST plan would grow ~4x per round (analysis blows up long before
+    // the data does). Each round is therefore cut over to an RDD-backed
+    // frame: analysis cost stays constant per round, RDD lineage grows only
+    // linearly, and the persisted parent is released once its child exists.
+    // (A multi-hour production run would also periodically checkpoint to
+    // bound RDD lineage; convergence here is 2-6 rounds.)
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val edges = truncated(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct()).persist()
+    var labels = truncated(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))).persist()
+    try {
+      var iter = 0
+      var done = labels.isEmpty
+      while (!done && iter < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+          .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+          .withColumnRenamed("src", "id")
+        val prop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        val next = truncated(
+          prop.join(prop.select(col("id").as("lid"), col("label").as("llabel")),
+              col("label") === col("lid"))
+            .select(col("id"), least(col("label"), col("llabel")).as("label"))).persist()
+        val changed = next
+          .join(labels.withColumnRenamed("label", "old"), "id")
+          .where(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        done = changed == 0L
+        iter += 1
+      }
+      require(done, s"connectedComponents: no convergence after $maxIters rounds " +
+        "(component diameter exceeds 2^iters — not a near-dup-shaped graph)")
+      labels.withColumnRenamed("label", "cluster")
+    } finally edges.unpersist()
+  }
+
+  /** Cluster-resolved keep-set: drop every clustered doc except its
+    * cluster's winner. `clusters` is [[connectedComponents]] output; the
+    * anti-join key is the id (broadcastable when the dup fraction is
+    * small; a plain shuffled semi-join otherwise). */
+  def keepAfterClusterDedup(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters.where(col("id") =!= col("cluster")).select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** End-to-end near-dup dedup: MinHash-LSH pairs -> connected components
+    * -> (id, cluster) labels. The first operator a user runs after
+    * [[minHashNearDups]]; pair generation is the LSH pipeline above, so
+    * the label frame inherits its determinism. Returned frame is
+    * persisted (see [[connectedComponents]]). */
+  def minHashDedupClusters(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+      minHashNearDups(docs, idCol, textCol, shingleN, numHashes, bands, threshold)
+        .select(col("doc_a"), col("doc_b")))
+
   // ------------------------------------------------- text analysis ops
 
   /** Tiny embedded stopword list (language-agnostic English-ish markers —

@@ -246,9 +246,13 @@ case class BloomSetOp(left: Expression, right: Expression, k0: Long, k1: Long,
     * reader maps to NULL — plans.EmptyNull). */
   def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     if (a.isEmpty || b.isEmpty) {
-      return if (intersection) Array.emptyByteArray
-      else if (a.isEmpty) b
-      else a
+      if (intersection) return Array.emptyByteArray
+      val survivor = if (a.isEmpty) b else a
+      // Same key/metadata validation every non-empty path gets: a corrupt
+      // or cross-key filter must fail AT the op, not flow through because
+      // its partner happened to be the empty payload.
+      if (survivor.nonEmpty) BlockedBloom.fromBytes(k0, k1, survivor)
+      return survivor
     }
     val (cfgA, wa, tagA) = BlockedBloom.fromBytes(k0, k1, a)
     val (cfgB, wb, tagB) = BlockedBloom.fromBytes(k0, k1, b)
@@ -345,6 +349,8 @@ object GraftFunctions {
       SketchReaders.sampleValuesBuilder _),
     (SketchReaders.SampleStringsName, classOf[BottomKStringsExpr],
       SketchReaders.sampleStringsBuilder _),
+    (SketchReaders.SampleWeightedValuesName, classOf[BottomKValuesExpr],
+      SketchReaders.sampleWeightedValuesBuilder _),
     (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _),
     (VectorFunctions.SrpBandsName, classOf[SrpBandsExpr], VectorFunctions.srpBandsBuilder _))
 
@@ -395,6 +401,11 @@ object GraftFunctions {
       udaf(new BottomKStringAgg(Keys.DefaultK0, Keys.DefaultK1, 64), ExpressionEncoder[String]()))
     spark.udf.register("graft_sample_str_merge",
       udaf(new BottomKStringMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_sample_weighted",
+      udaf(new BottomKWeightedLongAgg(Keys.DefaultK0, Keys.DefaultK1, 64),
+        ExpressionEncoder[(Long, Long)]()))
+    spark.udf.register("graft_sample_weighted_merge",
+      udaf(new BottomKWeightedMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_hll_merge",
       udaf(new graft.jobs.HllBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_cms_merge",

@@ -527,10 +527,12 @@ object HeavyHitterSummaryExpr {
   * values of a serialized bottom-k sample ([[graft.core.BottomK]]), in
   * hash order (a uniform random permutation for a fixed SipHash key).
   * Same cached-deserialize + codegen shape as the other native readers. */
-case class BottomKValuesExpr(child: Expression) extends UnaryExpression {
+case class BottomKValuesExpr(child: Expression, weighted: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_sample_values"
+  override def prettyName: String =
+    if (weighted) "graft_sample_weighted_values" else "graft_sample_values"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != BinaryType)
@@ -539,7 +541,8 @@ case class BottomKValuesExpr(child: Expression) extends UnaryExpression {
 
   @transient private lazy val cache =
     new ReaderCache[org.apache.spark.sql.catalyst.util.GenericArrayData](bytes => {
-      val (_, v, s, _, _) = BottomK.fromBytes(bytes)
+      val (_, v, s, _, _) =
+        if (weighted) BottomK.fromBytesWeighted(bytes) else BottomK.fromBytes(bytes)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(v.take(s))
     })
 
@@ -620,6 +623,7 @@ object SketchReaders {
   val HeavyHitterSummaryName = "graft_heavyhitter_summary"
   val SampleValuesName = "graft_sample_values"
   val SampleStringsName = "graft_sample_strings"
+  val SampleWeightedValuesName = "graft_sample_weighted_values"
 
   // optional-key literal parsing shared with the other builders
   private def keyLit(e: Expression): Option[Long] = GraftFunctions.keyLit(e)
@@ -694,6 +698,11 @@ object SketchReaders {
     case _ => throw new IllegalArgumentException(s"$SampleStringsName expects (sample BINARY)")
   }
 
+  private[plans] def sampleWeightedValuesBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => BottomKValuesExpr(s, weighted = true)
+    case _ => throw new IllegalArgumentException(s"$SampleWeightedValuesName expects (sample BINARY)")
+  }
+
   private[plans] def rankBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, x) => RankReadExpr(s, asDouble(x), isKll)
     case _ => throw new IllegalArgumentException(
@@ -719,4 +728,6 @@ object SketchReaders {
   def heavyHitterSummary(sketch: Column): Column = call_function(HeavyHitterSummaryName, sketch)
   def sampleValues(sample: Column): Column = call_function(SampleValuesName, sample)
   def sampleStrings(sample: Column): Column = call_function(SampleStringsName, sample)
+  def sampleWeightedValues(sample: Column): Column =
+    call_function(SampleWeightedValuesName, sample)
 }

@@ -298,6 +298,60 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sample-trained IVF recall@10 at nProbe=4/16: $recallSampled")
   }
 
+  test("connected components: labels are component minima; deterministic; keep-set exact") {
+    import spark.implicits._
+    // two chains (transitive closure matters) + a pair + isolated docs
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 5L))
+      .toDF("doc_a", "doc_b")
+    val cc = TextPipeline.connectedComponents(pairs)
+    val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.unpersist()
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
+    // identical assignment when the pair input arrives partitioned differently
+    val ccR = TextPipeline.connectedComponents(pairs.repartition(5, col("doc_b")))
+    val gotR = ccR.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ccR.unpersist()
+    assert(gotR === got)
+    // keep-set: winners + unclustered survive, losers drop
+    val docs = (1L to 12L).toDF("doc_id")
+    val kept = TextPipeline.keepAfterClusterDedup(docs, "doc_id", cc)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 5L, 6L, 8L, 9L, 10L, 12L))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("connected components: long path converges via pointer jumping; empty input is empty") {
+    import spark.implicits._
+    // a 33-node path: naive propagation needs 32 rounds, jumping needs ~5
+    val path = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = TextPipeline.connectedComponents(path, maxIters = 10)
+    val got = cc.collect()
+    cc.unpersist()
+    assert(got.length === 33 && got.forall(_.getLong(1) == 0L))
+    val empty = TextPipeline.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.isEmpty)
+    empty.unpersist()
+  }
+
+  test("minHashDedupClusters resolves planted dup groups end to end") {
+    // planted corpus: dup00i pairs with base00i, copies pair with their
+    // bases — every cluster's winner is the lexically-smallest doc_id
+    val cc = TextPipeline.minHashDedupClusters(plantedDocs(), "doc_id", "text",
+      threshold = 0.7)
+    val got = cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cc.unpersist()
+    (0 until 10).foreach { i =>
+      assert(got(f"dup$i%03d") === f"base$i%03d", s"dup $i")
+      assert(got(f"base$i%03d") === f"base$i%03d", s"base $i")
+    }
+    (0 until 5).foreach { i =>
+      assert(got(f"copy$i%03d") === f"base${10 + i}%03d", s"copy $i")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("quality metrics agree with a straightforward recomputation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = TextPipeline.withQualityMetrics(docs)

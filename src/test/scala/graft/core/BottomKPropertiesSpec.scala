@@ -73,4 +73,65 @@ object BottomKPropertiesSpec extends Properties("BottomK") {
       val set = xs.toSet
       Prop(v.take(s).forall(set.contains))
     }
+
+  // -------------------------------------------- ES-weighted sample (v2)
+
+  private def buildWeighted(elems: Seq[(Long, Double)], k: Int,
+      kk0: Long): (Array[Long], Array[Long], Int) = {
+    val (h, v) = BottomK.emptyBuffers(k)
+    var s = 0
+    elems.foreach { case (x, w) =>
+      s = BottomK.add(h, v, s, BottomK.esKey(SipHash.hashLong(kk0, k1, x), w), x)
+    }
+    (h, v, s)
+  }
+
+  private val genWeighted: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(0, 400)
+    xs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 300L), Gen.choose(1, 20).map(_.toDouble)))
+  } yield xs.distinctBy(_._1) // weight is a function of the value
+
+  property("weighted retained pairs ARE the es-key bottom-k of the distinct set") =
+    Prop.forAll(genK, genWeighted) { (k, xs) =>
+      val (h, v, s) = buildWeighted(xs, k, k0)
+      val expect = xs
+        .map { case (x, w) => (BottomK.esKey(SipHash.hashLong(k0, k1, x), w), x) }
+        .sortBy(_._1) // es keys are non-negative double bits: signed order ok
+        .take(k)
+      Prop(s == expect.length &&
+        h.take(s).sameElements(expect.map(_._1)) &&
+        v.take(s).sameElements(expect.map(_._2))) :| s"k=$k n=${xs.size}"
+    }
+
+  property("weighted k=1 inclusion tracks w/sum(w) within 5 sigma, any weight vector") =
+    Prop.forAll(Gen.listOfN(5, Gen.choose(1, 10).map(_.toDouble))) { ws =>
+      val trials = 1500
+      val wins = new Array[Int](ws.length)
+      var t = 0
+      while (t < trials) {
+        val kk0 = k0 + (t + 1) * 0x9e3779b97f4a7c15L
+        val (_, v, s) = buildWeighted(ws.indices.map(i => (i.toLong, ws(i))), 1, kk0)
+        if (s == 1) wins(v(0).toInt) += 1
+        t += 1
+      }
+      val total = ws.sum
+      Prop(ws.indices.forall { i =>
+        val p = ws(i) / total
+        val sigma = math.sqrt(p * (1 - p) / trials)
+        math.abs(wins(i).toDouble / trials - p) <= 5 * sigma + 0.005
+      }) :| s"ws=$ws wins=${wins.toSeq}"
+    }
+
+  property("weighted insertion order and split/merge never change the sample") =
+    Prop.forAll(genK, genWeighted, Gen.choose(1, 7)) { (k, xs, parts) =>
+      val (h1, v1, s1) = buildWeighted(xs, k, k0)
+      val partials = xs.zipWithIndex.groupBy(_._2 % parts).toSeq.sortBy(_._1).map { case (_, c) =>
+        buildWeighted(c.map(_._1), k, k0)
+      }
+      val (mh, mv, ms) = partials
+        .reduceOption { (a, b) => BottomK.merge(a._1, a._2, a._3, b._1, b._2, b._3) }
+        .getOrElse { val (h, v) = BottomK.emptyBuffers(k); (h, v, 0) }
+      Prop(s1 == ms && h1.take(s1).sameElements(mh.take(ms)) &&
+        v1.take(s1).sameElements(mv.take(ms))) :| s"k=$k parts=$parts"
+    }
 }

@@ -128,4 +128,82 @@ class BottomKSpec extends AnyFunSuite {
     bb.putLong(40, a1); bb.putLong(48, a0)
     intercept[IllegalArgumentException](BottomK.fromBytes(bad))
   }
+
+  // ------------------------------------------ ES-weighted sample (v2)
+
+  private def buildWeighted(k: Int, elems: Iterable[(Long, Double)],
+      kk0: Long = k0): (Array[Long], Array[Long], Int) = {
+    val (h, v) = BottomK.emptyBuffers(k)
+    var s = 0
+    elems.foreach { case (x, w) =>
+      s = BottomK.add(h, v, s, BottomK.esKey(SipHash.hashLong(kk0, k1, x), w), x)
+    }
+    (h, v, s)
+  }
+
+  test("esKey: rejects non-positive weights; orders exactly like the exponential it encodes") {
+    intercept[IllegalArgumentException](BottomK.esKey(1L, 0.0))
+    intercept[IllegalArgumentException](BottomK.esKey(1L, -1.0))
+    // bit trick: for arbitrary hashes/weights the long keys order exactly
+    // like the -ln(u)/w doubles they encode (non-negative IEEE ordering)
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val (h1, h2) = (rnd.nextLong(), rnd.nextLong())
+      val (w1, w2) = (rnd.nextInt(50) + 1.0, rnd.nextInt(50) + 1.0)
+      def exp(h: Long, w: Double) = -math.log(((h >>> 11) + 1).toDouble / 9007199254740992.0) / w
+      val byBits = java.lang.Long.compare(BottomK.esKey(h1, w1), BottomK.esKey(h2, w2))
+      val byVal = java.lang.Double.compare(exp(h1, w1), exp(h2, w2))
+      assert(math.signum(byBits) === math.signum(byVal))
+    }
+  }
+
+  test("weighted k=1 inclusion frequency tracks w/sum(w) across independent keys") {
+    // item 0 carries weight 9 against nine weight-1 items: P(win) = 9/18
+    val trials = 2000
+    var hits = 0
+    (0 until trials).foreach { t =>
+      val kk0 = k0 + (t + 1) * 0x9e3779b97f4a7c15L
+      val (_, v, s) = buildWeighted(1,
+        (0L to 9L).map(x => (x, if (x == 0L) 9.0 else 1.0)), kk0)
+      assert(s === 1)
+      if (v(0) == 0L) hits += 1
+    }
+    // Binomial(2000, 0.5): 5 sigma = 112
+    assert(math.abs(hits - 1000) < 120, s"heavy-item wins $hits/2000, expected ~1000")
+  }
+
+  test("weighted layout (v2) round-trips and refuses to cross-decode with uniform (v1)") {
+    val (h, v, s) = buildWeighted(16, (1L to 100L).map(x => (x, (x % 7 + 1).toDouble)))
+    val bytes = BottomK.toBytesWeighted(h, v, s, BlockedBloom.TypeTag.Long, 0xabcL)
+    val (h2, v2, s2, tag, keyHash) = BottomK.fromBytesWeighted(bytes)
+    assert(s2 === s && tag === BlockedBloom.TypeTag.Long && keyHash === 0xabcL)
+    assert(h2.take(s).sameElements(h.take(s)) && v2.take(s).sameElements(v.take(s)))
+    assert(BottomK.toBytesWeighted(h2, v2, s2, tag, keyHash).sameElements(bytes))
+    // cross-version decodes fail loudly in BOTH directions, naming the mix
+    val e1 = intercept[IllegalArgumentException](BottomK.fromBytes(bytes))
+    assert(e1.getMessage.contains("weighted"))
+    val (uh, uv, us) = build(16, 1L to 100L)
+    val uniformBytes = BottomK.toBytes(uh, uv, us, BlockedBloom.TypeTag.Long, 0xabcL)
+    intercept[IllegalArgumentException](BottomK.fromBytesWeighted(uniformBytes))
+  }
+
+  test("weighted split + serialized merge equals single build, any split") {
+    val elems = (1L to 500L).map(x => (x, (x % 13 + 1).toDouble))
+    val (dh, dv, ds) = buildWeighted(32, elems)
+    (1 to 7).foreach { parts =>
+      val partials = elems.zipWithIndex.groupBy(_._2 % parts).values.map { chunk =>
+        val (h, v, s) = buildWeighted(32, chunk.map(_._1))
+        BottomK.toBytesWeighted(h, v, s, BlockedBloom.TypeTag.Long, 0xabcL)
+      }
+      val merged = partials.reduce { (a, b) =>
+        val (ah, av, as, tag, kh) = BottomK.fromBytesWeighted(a)
+        val (bh, bv, bs, _, _) = BottomK.fromBytesWeighted(b)
+        val (mh, mv, ms) = BottomK.merge(ah, av, as, bh, bv, bs)
+        BottomK.toBytesWeighted(mh, mv, ms, tag, kh)
+      }
+      assert(merged.sameElements(
+        BottomK.toBytesWeighted(dh, dv, ds, BlockedBloom.TypeTag.Long, 0xabcL)),
+        s"parts=$parts")
+    }
+  }
 }
