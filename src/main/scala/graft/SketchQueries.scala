@@ -607,9 +607,20 @@ object SketchQueries {
           .as("key"))
     val hhUdaf = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
     val sk = stream.groupBy(col("source")).agg(hhUdaf(col("key")).as("sk"))
-    // ONE native struct read per summary (graft_heavyhitter_summary): topk
-    // entries + error bound D + total N from a single cached deserialize —
-    // no UDF readers in the family (round-3 VERDICT #5)
+    val exact = stream.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))
+    mgGuaranteeGate(spark, sk, exact, capacity)
+  }
+
+  /** Shared Misra-Gries guarantee gate: per-source summary frame
+    * (source, sk) vs exactly-recomputed counts (source, key, cnt) ->
+    * per-source within_bound. `cnt` is the true WEIGHT of the key (plain
+    * occurrence count for the unweighted agg, summed weights for the
+    * weighted one — the guarantees are the same with N = total weight).
+    * ONE native struct read per summary (graft_heavyhitter_summary): topk
+    * entries + error bound D + total N from a single cached deserialize —
+    * no UDF readers in the family (round-3 VERDICT #5). */
+  private def mgGuaranteeGate(spark: SparkSession, sk: DataFrame, exact: DataFrame,
+      capacity: Int): DataFrame = {
     GraftFunctions.registerExpressions(spark)
     val meta = sk
       .select(col("source"), SketchReaders.heavyHitterSummary(col("sk")).as("s"))
@@ -617,7 +628,6 @@ object SketchQueries {
         col("s.topk").as("entries"))
     val entries = meta.select(col("source"), col("d"), explode(col("entries")).as("e"))
       .select(col("source"), col("d"), col("e.key").as("key"), col("e.est").as("est"))
-    val exact = stream.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))
     // (1) stored-key sandwich: est <= cnt <= est + D. LEFT join so a stored
     // key with NO exact counterpart (a corrupt summary) produces a FALSE
     // row — an inner join would silently drop it and the group could pass
@@ -646,6 +656,35 @@ object SketchQueries {
           coalesce(col("n_missed"), lit(0L)) === 0L)
           .as("within_bound"))
       .orderBy(col("source"))
+  }
+
+  /** WEIGHTED Misra-Gries under the driver gate
+    * (`q_heavyhitter_weighted_bound`): the input arrives PRE-AGGREGATED as
+    * (key, weight) rows — per-(doc, key) occurrence counts, the shape a
+    * checkpointed pipeline hands the summary instead of re-exploding every
+    * occurrence — and `graft_heavyhitter_weighted` must deliver the same
+    * est <= true <= est + D / presence / D*capacity <= N guarantees with
+    * N = TOTAL WEIGHT. The true weight of each key equals its plain
+    * occurrence count (sum of per-doc counts), so the gate reuses the
+    * sibling's exactly-recomputed frame; key universe blown up
+    * doc-dependently exactly like `q_heavyhitter_mg_bound` (vocab ≫
+    * capacity, summaries genuinely lossy). */
+  def heavyHitterWeightedBound(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 64
+    val t = Tokens.table(spark, dir)
+    val stream = t
+      .select(col("source"), col("doc_id"), explode(col("tokens")).as("token"))
+      .select(col("source"), col("doc_id"),
+        when(col("token") % 5 === 0, col("token").cast("long") * 1000L)
+          .otherwise(col("token").cast("long") * 1000L + pmod(col("doc_id").cast("long"), lit(101L)) + 1L)
+          .as("key"))
+    val perDoc = stream
+      .groupBy(col("source"), col("doc_id"), col("key"))
+      .agg(count(lit(1)).as("w"))
+    val hhW = udaf(new HeavyHittersWeightedLongAgg(capacity), ExpressionEncoder[(Long, Long)]())
+    val sk = perDoc.groupBy(col("source")).agg(hhW(col("key"), col("w")).as("sk"))
+    val exact = stream.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))
+    mgGuaranteeGate(spark, sk, exact, capacity)
   }
 
   /** Exact per-doc token count through the tokens table (text analysis:

@@ -41,6 +41,8 @@ object SparkEntry {
     "q_cms_topk" -> ((s: SparkSession, d: String) => SketchQueries.cmsTopK(s, d)),
     // Misra-Gries heavy hitters for vocab >> width (guarantee invariants)
     "q_heavyhitter_mg_bound" -> (SketchQueries.heavyHitterMgBound _),
+    // weighted MG over pre-aggregated (key, weight) rows, N = total weight
+    "q_heavyhitter_weighted_bound" -> (SketchQueries.heavyHitterWeightedBound _),
     // KMV bottom-k: distinct-intersection / Jaccard / merged-union bounds
     "q_kmv_intersect_bound" -> (SketchQueries.kmvIntersectBound _),
     "q_bloom_intersect_exact" -> (SketchQueries.bloomIntersectExact _),
@@ -84,7 +86,12 @@ object SparkEntry {
     // windowed Misra-Gries trending tokens: exact MG guarantees per
     // (event-time window, source) under the oracle
     "q_streaming_trending_tokens" -> ((s: SparkSession, dir: String) =>
-      graft.streaming.StreamingSketch.replayTrendingTokens(s, dir))
+      graft.streaming.StreamingSketch.replayTrendingTokens(s, dir)),
+    // dynamic-gap session windows: state-store-merged session KMV
+    // byte-identical to batch, bounds + estimate exact per session
+    "q_streaming_session_kmv" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingSketch.replaySessionKmv(
+        s, dir, SketchQueries.K0, SketchQueries.K1, SketchQueries.kmvK))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,6 +140,14 @@ object SparkEntry {
           "WHERE source > (SELECT min(source) FROM documents)))"),
       "q_hll_distinct_tokens_bound" -> boundOracle,
       "q_heavyhitter_mg_bound" -> boundOracle,
+      "q_heavyhitter_weighted_bound" -> boundOracle,
+      // session enumeration is a pure function of doc_id (sess =
+      // (doc_id // 20) % 5, five per source; every session's booleans are
+      // exact — see replaySessionKmv)
+      "q_streaming_session_kmv" ->
+        ("SELECT source, CAST((doc_id // 20) % 5 AS BIGINT) AS sess, true AS bytes_match, " +
+          "true AS bounds_ok, true AS est_within_bound " +
+          "FROM documents GROUP BY source, sess ORDER BY source, sess"),
       "q_kmv_intersect_bound" ->
         ("SELECT a.s AS status_a, b.s AS status_b, true AS distinct_within_bound, " +
           "true AS inter_within_bound, true AS jaccard_within_bound, " +

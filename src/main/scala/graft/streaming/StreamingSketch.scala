@@ -390,6 +390,113 @@ object StreamingSketch {
       .orderBy(col("win"), col("source"))
   }
 
+  /** SESSION-WINDOW driver query (`q_streaming_session_kmv`): dynamic-gap
+    * session windows under the oracle. Event time is a deterministic
+    * two-scale function of doc_id —
+    *   ts = epoch0 + ((doc_id div 20) mod 5)·200 s + ((doc_id div 100) mod 3)·20 s
+    * — so each (source, (doc_id div 20) mod 5) group forms EXACTLY one
+    * session under a 60 s gap (intra-group gaps <= 40 s < 60; inter-group
+    * gaps >= 160 s > 60; both engines enumerate sessions as sess =
+    * (doc_id div 20) mod 5, FIVE per source — the div-20 scale cuts
+    * across the fixture's source = doc_id mod 20 assignment, so sessions
+    * genuinely split within a source). The fixture replays out of order
+    * across 3 micro-batches
+    * (state-store session merge exercised), then sentinel rows advance
+    * the watermark past every real session's end so append mode emits
+    * each closed session exactly once. Per (source, sess), all exact:
+    *  - bytes_match: the state-store-merged session KMV is BYTE-IDENTICAL
+    *    to a direct batch build over the same docs' tokens (KMV content
+    *    is a pure function of the element set);
+    *  - bounds_ok: emitted session bounds equal [min event, max event +
+    *    gap) recomputed exactly in batch;
+    *  - est_within_bound: the distinct estimate is within the KMV margin
+    *    of the exact per-session distinct count (exact below saturation).
+    * A split/merged/leaked session would double or drop a (source, sess)
+    * row and break the oracle's row enumeration. */
+  def replaySessionKmv(spark: SparkSession, dir: String,
+      k0: Long, k1: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val epoch0 = Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    val t = graft.sources.Tokens.table(spark, dir)
+    val rows = collectReplayRowsId(t, epoch0).map { case (_, id, src, toks) =>
+      (Timestamp.from(Instant.ofEpochSecond(
+        epoch0 + ((id / 20) % 5) * 200 + ((id / 100) % 3) * 20)), id, src, toks)
+    }
+    val stream = MemoryStream[(Timestamp, Long, String, Array[Int])]
+    val streamed = stream.toDF().toDF("ts", "doc_id", "source", "tokens")
+      .select(col("ts"), col("source"), col("tokens"))
+    // watermark must cover the whole replayed span (840 s): out-of-order
+    // chunks would otherwise drop earlier-timestamped rows as late
+    val out = sessionKmv(streamed, "ts", watermarkDelay = "900 seconds",
+      gapDuration = "60 seconds", k0, k1, k)
+    val sinkName = "graft_stream_session_kmv"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try {
+        (0 until 3).foreach { chunk =>
+          stream.addData(rows.filter(r => r._4.length % 3 == chunk).toSeq)
+          query.processAllAvailable()
+        }
+        // sentinels: watermark -> 5001 - 900 = 4101 s > every session end
+        stream.addData(Seq((Timestamp.from(Instant.ofEpochSecond(epoch0 + 5000)),
+          -1L, "zz", Array.empty[Int])))
+        query.processAllAvailable()
+        stream.addData(Seq((Timestamp.from(Instant.ofEpochSecond(epoch0 + 5001)),
+          -1L, "zz", Array.empty[Int])))
+        query.processAllAvailable()
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    // materialize the <= sources x 5 session rows once (LocalRelation —
+    // the memory-sink view does not survive the gate's joins, see
+    // replayTrendingTokens)
+    val sinkSel = spark.table(sinkName)
+      .where(col("source") =!= "zz")
+      .select(col("session_window.start").cast("long").as("start"),
+        col("session_window.end").cast("long").as("end"),
+        col("source"), col("kmv"))
+    val sinkRows = sinkSel.collect()
+    val sk = spark.createDataFrame(java.util.Arrays.asList(sinkRows: _*), sinkSel.schema)
+      .withColumn("sess", floor((col("start") - epoch0) / 200L).cast("long"))
+    val kmvU = udaf(new KmvTokensAgg(k0, k1, k), ExpressionEncoder[Array[Int]]())
+    val batch = t
+      .select(col("doc_id").cast("long").as("id"), col("source"), col("tokens"))
+      .withColumn("sess", pmod(floor(col("id") / 20L).cast("long"), lit(5L)))
+      .withColumn("off", pmod(floor(col("id") / 100L).cast("long"), lit(3L)) * 20L)
+    val batchAgg = batch
+      .groupBy(col("source"), col("sess"))
+      .agg(kmvU(col("tokens")).as("kmv_batch"),
+        min(col("off")).as("min_off"), max(col("off")).as("max_off"))
+    val exactNd = batch
+      .select(col("source"), col("sess"), explode(col("tokens")).as("token"))
+      .groupBy(col("source"), col("sess"))
+      .agg(countDistinct(col("token")).as("nd"))
+    val margin = 4.0 / math.sqrt((k - 2).toDouble)
+    sk
+      .join(batchAgg, Seq("source", "sess"))
+      .join(exactNd, Seq("source", "sess"), "left")
+      .select(col("source"), col("sess"),
+        (col("kmv") === col("kmv_batch")).as("bytes_match"),
+        (col("start") === lit(epoch0) + col("sess") * 200L + col("min_off") &&
+          col("end") === lit(epoch0) + col("sess") * 200L + col("max_off") + 60L).as("bounds_ok"),
+        (abs(graft.plans.SketchReaders.kmvEstimate(col("kmv")) -
+          coalesce(col("nd"), lit(0L)).cast("double")) <=
+          greatest(lit(margin) * coalesce(col("nd"), lit(0L)).cast("double"), lit(0.5)))
+          .as("est_within_bound"))
+      .orderBy(col("source"), col("sess"))
+  }
+
   /** SESSION-window KMV: per-(activity session, source) distinct-token
     * sketch, where a session extends while events arrive within
     * `gapDuration` of each other (Spark's `session_window` — the dynamic
@@ -397,8 +504,9 @@ object StreamingSketch {
     * per-user-session distinct counts). Sessions merge across micro-batches
     * in the state store exactly like the tumbling rows — KMV's
     * order-insensitive content makes the merged session sketch a pure
-    * function of the session's element set (byte-identity tested). Append
-    * output requires the watermark; closed sessions emit once. */
+    * function of the session's element set (byte-identity tested and
+    * driver-gated, `q_streaming_session_kmv`). Append output requires the
+    * watermark; closed sessions emit once. */
   def sessionKmv(
       tokens: DataFrame,
       tsCol: String,
