@@ -172,6 +172,14 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
   }
 
+  /** [[nearestCluster]] as a serializable function — ivfBuild's assignment
+    * UDF body, public so tools.SrpProbe measures the SAME code path it
+    * ships (kernel-vs-encoder-boundary probe, round-4 VERDICT #4). */
+  final class NearestClusterFn(centroids: Array[Array[Float]])
+      extends (Array[Float] => Int) with Serializable {
+    def apply(emb: Array[Float]): Int = nearestCluster(centroids, emb)
+  }
+
   /** Nearest-centroid assignment by cosine (serializable closure body). */
   private def nearestCluster(centroids: Array[Array[Float]], emb: Array[Float]): Int = {
     var best = 0; var bestCos = Double.NegativeInfinity
@@ -255,10 +263,12 @@ object Similarity {
       centroids = next
       iter += 1
     }
-    val finalCs = centroids
-    val assignUdf = udf { (emb: Array[Float]) => nearestCluster(finalCs, emb) }
+    // native copy-once assignment (graft_ivf_assign): the SrpProbe ivf
+    // phase measured the UDF's encoder copy at ~half its cost — material,
+    // so the one full-table pass runs without the boundary
     val indexed = embeddings.select(
-      col(idCol).as("id"), col(embCol).as("emb"), assignUdf(col(embCol)).as("cluster"))
+      col(idCol).as("id"), col(embCol).as("emb"),
+      graft.plans.VectorFunctions.ivfAssign(col(embCol), centroids).as("cluster"))
     IvfIndex(centroids, indexed)
   }
 

@@ -159,6 +159,78 @@ case class SrpBandsExpr(child: Expression, b: Int, chunks: Int) extends UnaryExp
     copy(child = newChild)
 }
 
+/** Native nearest-centroid assignment (`graft_ivf_assign`) — ivfBuild's
+  * full-table assignment pass without the UDF encoder boundary. The
+  * kernel reads every element once per centroid, so it follows the
+  * measured copy-once rule (tools.SrpProbe ivf phase: the encoder copy
+  * was ~half the assign-UDF's cost at dim 64 × 16 centroids — material,
+  * unlike the text kernels). Byte-for-byte the same per-centroid cosine
+  * loop as `Similarity.nearestCluster` (same truncation to the shorter
+  * length, same zero-norm -1 convention, same first-wins tie break), so
+  * the stored index is identical to the UDF formulation's — tested.
+  * Centroids are index-build-time DATA, not literals, so ivfBuild
+  * constructs this expression directly instead of going through the SQL
+  * function registry. */
+case class IvfAssignExpr(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_assign"
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    elemType(child) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float>/array<double> embedding, got ${child.dataType.simpleString}")
+    }
+
+  private lazy val childIsFloat: Boolean = elemType(child).contains(FloatType)
+
+  def assign(a: ArrayData): Int = {
+    val n = a.numElements()
+    val isFloat = childIsFloat
+    val v = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      v(j) = if (a.isNullAt(j)) 0.0 else if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      j += 1
+    }
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val row = centroids(c)
+      val m = math.min(n, row.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var k = 0
+      while (k < m) {
+        val x = v(k); val y = row(k).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        k += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any): Any = assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("ivfAssign", this, classOf[IvfAssignExpr].getName)
+    defineCodeGen(ctx, ev, a => s"$selfRef.assign($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   val CosineSimName = "graft_cosine_sim"
@@ -190,4 +262,11 @@ object VectorFunctions {
   def srpBands(emb: org.apache.spark.sql.Column, b: Int, chunks: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(SrpBandsName, emb,
       org.apache.spark.sql.functions.lit(b), org.apache.spark.sql.functions.lit(chunks))
+
+  /** Direct-construction entry point (centroids are runtime data — see
+    * [[IvfAssignExpr]]). */
+  def ivfAssign(emb: org.apache.spark.sql.Column,
+      centroids: Array[Array[Float]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      IvfAssignExpr(org.apache.spark.sql.GraftColumnBridge.expression(emb), centroids))
 }

@@ -80,6 +80,32 @@ object SrpProbe {
         big.select(graft.plans.VectorFunctions.srpBands(col("emb"), 64, 8).as("bands"))))
       require(u == n, s"udf/native band checksum mismatch: $u vs $n")
     }
+    // ---- IVF-assignment boundary probe (round-4 VERDICT #4): ivfBuild's
+    // final full-table pass assigns each vector to its nearest of 16
+    // centroids through a per-row UDF. Same question as the text kernels:
+    // does the UDF encoder boundary dominate (nativize) or the kernel
+    // (numClusters x dim multiply-adds — record and keep the UDF)?
+    // boundary-only twin: the SAME Array[Float] crosses the SAME encoder,
+    // trivial body.
+    val centroids = Array.tabulate(16) { c =>
+      Array.tabulate(dim) { j =>
+        val h = graft.core.SipHash.hashLong(0xce27L, c.toLong, j.toLong)
+        ((h & 0xffff).toFloat / 0xffff - 0.5f)
+      }
+    }
+    val assignUdf = udf(new Similarity.NearestClusterFn(centroids))
+    val vecBoundaryUdf = udf { (e: Array[Float]) => e.length }
+    for (round <- 1 to 3) {
+      println(s"--- ivf assign round $round ($nVecs vecs, dim $dim, 16 centroids) ---")
+      val uSum = time("ivf assign udf")(
+        big.select(sum(assignUdf(col("emb")).cast("long"))).head().getLong(0))
+      time("vector boundary-only udf")(
+        big.select(sum(vecBoundaryUdf(col("emb")).cast("long"))).head())
+      val nSum = time("native ivf assign")(
+        big.select(sum(graft.plans.VectorFunctions.ivfAssign(col("emb"), centroids)
+          .cast("long"))).head().getLong(0))
+      require(uSum == nSum, s"udf/native assignment checksum mismatch: $uSum vs $nSum")
+    }
     big.unpersist()
 
     // ---- text-kernel boundary probe: is the MinHash-signature UDF's cost

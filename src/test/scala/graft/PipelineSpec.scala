@@ -247,6 +247,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     index.indexed.unpersist()
   }
 
+  test("ivfBuild degrades gracefully when the table is smaller than numClusters (and when empty)") {
+    import spark.implicits._
+    // 5 vectors, 16 requested clusters -> 5 effective centroids, no crash
+    // (round-4 ADVICE: the sample-trained recentre loop must clamp)
+    val tiny = (0 until 5).map(i => (i.toLong, Array.fill(8)(i + 1.0f))).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(tiny, "vec_id", "embedding", numClusters = 16)
+    assert(idx.centroids.length === 5)
+    val assigned = idx.indexed.collect()
+    assert(assigned.length === 5)
+    assert(assigned.forall { r => val c = r.getInt(2); c >= 0 && c < 5 })
+    val hits = Similarity.ivfSearch(idx, Array.fill(8)(3.0f), 3, nProbe = 5).collect()
+    assert(hits.length === 3)
+    // empty table: no centroids, empty index, search returns no rows
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptyIdx = Similarity.ivfBuild(none, "vec_id", "embedding", numClusters = 4)
+    assert(emptyIdx.centroids.isEmpty && emptyIdx.indexed.isEmpty)
+  }
+
   test("IVF-Flat with k-means centroids: recall >= 0.9 at nProbe 4/16 on planted clusters") {
     import spark.implicits._
     // 16 planted archetype directions (deterministic rademacher vectors,

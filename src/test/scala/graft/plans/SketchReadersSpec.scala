@@ -300,6 +300,43 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft_ivf_assign: identical to the UDF assignment on ragged/zero/plain vectors, codegen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val centroids = Array.fill(16)(Array.fill(64)(rng.nextFloat() * 2 - 1))
+    // plain vectors + ragged (shorter/longer than centroids) + all-zero
+    // (the -1-cosine convention must tie-break to centroid 0 identically)
+    val vecs = (0 until 300).map { i =>
+      val len = i % 4 match {
+        case 0 => 64
+        case 1 => 17
+        case 2 => 80
+        case _ => 64
+      }
+      val a = if (i % 11 == 0) new Array[Float](len)
+              else Array.fill(len)(rng.nextFloat() * 2 - 1)
+      (i.toLong, a)
+    }
+    val df = vecs.toDF("id", "emb").repartition(3)
+    val assignUdf = udf(new graft.operators.Similarity.NearestClusterFn(centroids))
+    val both = df.select(col("id"),
+      assignUdf(col("emb")).as("u"),
+      graft.plans.VectorFunctions.ivfAssign(col("emb"), centroids).as("n"))
+    both.collect().foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"assignment mismatch for id ${r.getLong(0)}")
+    }
+    // participates in whole-stage codegen
+    val dfCg = df.select(
+      graft.plans.VectorFunctions.ivfAssign(col("emb"), centroids).as("c"))
+    dfCg.collect()
+    assert(insideCodegen(dfCg, "graft_ivf_assign"),
+      s"ivf assignment must fuse into WholeStageCodegen:\n${dfCg.queryExecution.executedPlan}")
+    // non-array input fails at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.plans.VectorFunctions.ivfAssign(col("id"), centroids)).collect()
+    }
+  }
+
   test("graft_heavyhitter_summary: one native struct read, codegen, analysis-time type check") {
     import spark.implicits._
     GraftFunctions.register(spark)
