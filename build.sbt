@@ -14,8 +14,11 @@ run / fork := true
 // The forked program's stdout goes straight through, NOT via sbt's logger:
 // the driver tail-captures Bench/Verify stdout and parses the final line as
 // JSON — an "[info] " prefix on that line breaks the parse (BENCH_r0*.json
-// "parsed": null). StdoutOutput emits the child's lines undecorated.
+// "parsed": null). StdoutOutput emits the child's lines undecorated, and
+// showSuccess drops the trailing "[success] Total time" line so the bench
+// headline JSON is literally the last line of output.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

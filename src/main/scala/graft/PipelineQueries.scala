@@ -157,6 +157,72 @@ object PipelineQueries {
         (col("n_zero") === col("n_exact")).as("exact_dups_hamming_zero"))
   }
 
+  /** Document-level MIXTURE ACCOUNTING — the "sampling frame" a
+    * training-data pipeline derives before drawing its mixture: per
+    * source, token mass + quality + exact-dedup survival in ONE pass over
+    * the documents, feeding the weight-proportional sample directly
+    * (round-4 VERDICT stretch #7). Per source (everything exact except
+    * the two sample booleans, which are exact PROPERTIES of the
+    * deterministic sample):
+    *  - n_docs, tok_mass: raw volume;
+    *  - n_quality: docs passing the quality gate;
+    *  - n_kept: exact-dedup survivors (min doc_id per content
+    *    fingerprint — winners chosen across ALL sources, so cross-source
+    *    copies keep one global canonical);
+    *  - frame_docs / frame_tok_mass: the sampling frame = kept AND
+    *    quality docs, and its token mass (what the mixture actually
+    *    weighs);
+    *  - sample_size_ok / sample_members_ok: the per-source ES-weighted
+    *    sample (k docs, P ∝ n_tok) drawn FROM THE FRAME has the right
+    *    size and only frame members.
+    * Plan shape: one projection (token counts, quality, fingerprint), one
+    * fingerprint-keyed window for survival, one source-keyed aggregation
+    * carrying the <= k-entry weighted-sample summaries — two shuffles
+    * total at any scale. */
+  def samplingFrame(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SketchAggs.BottomKWeightedLongAgg
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val k = 8
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val flagged = TextPipeline.withQualityMetrics(d)
+      .withColumn("fp", TextPipeline.fingerprintCol(d, col("text")))
+      .withColumn("kept", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+          .orderBy(col("doc_id"))) === 1)
+      .withColumn("in_frame", col("kept") && col("quality_ok") && col("word_count") > 0)
+    val aggW = udaf(new BottomKWeightedLongAgg(
+      graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1, k),
+      ExpressionEncoder[(Long, Long)]())
+    val stats = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("word_count")).as("tok_mass"),
+      sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("in_frame"), 1L).otherwise(0L)).as("frame_docs"),
+      sum(when(col("in_frame"), col("word_count")).otherwise(0L)).as("frame_tok_mass"),
+      // the weighted sample rides the SAME aggregation (zero-weight rows
+      // are skipped by the aggregator, so non-frame docs contribute
+      // nothing)
+      aggW(col("doc_id"), when(col("in_frame"), col("word_count")).otherwise(0L)).as("sk"))
+    val withVals = stats.withColumn("vals",
+      graft.plans.SketchReaders.sampleWeightedValues(col("sk")))
+    val nonMembers = withVals
+      .select(col("source"), explode(col("vals")).as("doc_id"))
+      .join(flagged.where(col("in_frame")).select(col("source"), col("doc_id")),
+        Seq("source", "doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_bad"))
+    withVals
+      .join(nonMembers, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tok_mass"), col("n_quality"),
+        col("n_kept"), col("frame_docs"), col("frame_tok_mass"),
+        (coalesce(size(col("vals")), lit(0)) === least(lit(k), col("frame_docs").cast("int")))
+          .as("sample_size_ok"),
+        (coalesce(col("n_bad"), lit(0L)) === 0L).as("sample_members_ok"))
+      .orderBy(col("source"))
+  }
+
   /** Exact per-doc token count under the BPE-ish regex tokenizer (the
     * second tokenization mode next to whitespace `q_token_count_exact`). */
   def tokenCountRegex(spark: SparkSession, dir: String): DataFrame =

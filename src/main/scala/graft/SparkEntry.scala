@@ -62,6 +62,9 @@ object SparkEntry {
     "q_minhash_lsh_dups" -> (PipelineQueries.minhashLshDups _),
     // pairs -> connected components -> deterministic winner -> keep-set
     "q_dedup_clusters" -> (PipelineQueries.dedupClusters _),
+    // mixture accounting: token mass + quality + dedup survival + the
+    // weighted sample of the resulting frame, one pass per source
+    "q_sampling_frame" -> (PipelineQueries.samplingFrame _),
     "q_simhash_dups" -> (PipelineQueries.simhashDups _),
     // text analysis
     "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
@@ -210,6 +213,24 @@ object SparkEntry {
           "CAST(count(CASE WHEN cluster IS NULL OR cluster = doc_id THEN 1 END) AS BIGINT) AS n_kept, " +
           "true AS deterministic " +
           "FROM j GROUP BY source ORDER BY source"),
+      // mixture accounting: every count/mass column exact (integer
+      // arithmetic, deterministic winners); sample booleans are exact
+      // properties of the deterministic ES sample (constant true)
+      "q_sampling_frame" ->
+        ("WITH t AS (SELECT doc_id, source, text, " +
+          "len(list_filter(string_split(text, ' '), w -> w <> '')) AS wc, " +
+          "len(list_filter(string_split(text, ' '), w -> w IN " +
+          "('the','a','an','and','or','of','to','in','is','it'))) AS sw FROM documents), " +
+          "f AS (SELECT *, (wc BETWEEN 5 AND 10000 AND 2 * sw <= wc) AS qok, " +
+          "(row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1) AS kept FROM t) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(wc) AS BIGINT) AS tok_mass, " +
+          "CAST(sum(CASE WHEN qok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+          "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN kept AND qok AND wc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS frame_docs, " +
+          "CAST(sum(CASE WHEN kept AND qok AND wc > 0 THEN wc ELSE 0 END) AS BIGINT) AS frame_tok_mass, " +
+          "true AS sample_size_ok, true AS sample_members_ok " +
+          "FROM f GROUP BY source ORDER BY source"),
       // the SAME regex evaluates in both engines (pattern restricted to the
       // Java-regex ∩ RE2 dialect; see TextPipeline.BpeIshPattern)
       "q_token_count_regex" ->

@@ -51,6 +51,11 @@ object PlanCheck {
     // round-4 addition: the bottom-k sample gate (partial-agg monoid +
     // native sample reader + serialized merge level)
     show("sampleBottomK", graft.SketchQueries.sampleBottomK(spark, dir))
+    // round-5 additions: the weighted (ES) sample and the mixture
+    // accounting frame (the dedup-clusters query materializes internally,
+    // so its per-round shape is documented in TextPipeline scaladoc)
+    show("sampleWeighted", graft.SketchQueries.sampleWeighted(spark, dir))
+    show("samplingFrame", graft.PipelineQueries.samplingFrame(spark, dir))
     spark.stop()
   }
 }
