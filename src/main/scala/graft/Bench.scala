@@ -275,17 +275,17 @@ object Bench {
     // near-dup rate at SPARK_GRAFT_LSH_DOCS docs so the candidate-volume
     // behavior of the banded join is actually measured (round-2 VERDICT #7).
     val lshDocs = sys.env.getOrElse("SPARK_GRAFT_LSH_DOCS", "1000000").toLong
-    val (lshSec, lshVerified, lshCandidates) = {
+    val (lshSec, lshVerified, lshCandidates, ccSec, ccClusters) = {
       val s = session(cpus)
       val path = s"/tmp/graft_bench_lsh_$lshDocs.parquet"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         lshStressCorpus(s, lshDocs, cpus * 4).write.mode("overwrite").parquet(path)
       }
       val docs = s.read.parquet(path)
-      def run(): Long = graft.operators.TextPipeline
+      def pairs() = graft.operators.TextPipeline
         .minHashNearDups(docs, "doc_id", "text", shingleN = 3, numHashes = 128,
           bands = 32, threshold = 0.7)
-        .count()
+      def run(): Long = pairs().count()
       run() // warm
       val (verified, sec) = time(run())
       // candidate volume (untimed diagnostic): pairs entering verification
@@ -293,9 +293,28 @@ object Bench {
         .withMinHashSignature(docs, "text", shingleN = 3, numHashes = 128)
       val cands = graft.operators.TextPipeline
         .lshCandidatePairs(withSig, "doc_id", bands = 32, rowsPerBand = 4).count()
-      System.err.println(f"[bench] lsh: $lshDocs docs, $verified verified pairs, $cands candidates, $sec%.3f s")
+      // cluster resolution at stress scale: verified pairs -> connected
+      // components -> winners. The planted corpus pairs each dup with its
+      // cluster head ONLY, so components == verified pairs and every
+      // winner must be a head (doc_id % 10 == 0 position in the plant) —
+      // a correctness gate riding the timing.
+      val p = pairs().select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b")).persist()
+      p.count()
+      val (clusters, ccsec) = time {
+        val cc = graft.operators.TextPipeline.connectedComponents(p)
+        val n = cc.where(org.apache.spark.sql.functions.col("id") ===
+          org.apache.spark.sql.functions.col("cluster")).count()
+        cc.unpersist()
+        n
+      }
+      p.unpersist()
+      if (clusters != verified)
+        System.err.println(s"[bench] WARNING cluster resolution: $clusters clusters from " +
+          s"$verified pairs (planted pairs are disjoint; an extra pair merged clusters)")
+      System.err.println(f"[bench] lsh: $lshDocs docs, $verified verified pairs, $cands candidates, $sec%.3f s; cc: $clusters clusters in $ccsec%.3f s")
       stopSession(s)
-      (sec, verified, cands)
+      (sec, verified, cands, ccsec, clusters)
     }
 
     // ---- phase 3d: KMV distinct-sketch build throughput ----
@@ -364,6 +383,7 @@ object Bench {
         f""""probes_per_sec_n$cpus":${probeTotal / probeSec}%.0f,"probe_secs":${jsonArr(probeSecs)}%s,""" +
         f""""lsh_docs":$lshDocs,"lsh_sec":$lshSec%.3f,"lsh_docs_per_sec":${lshDocs / lshSec}%.0f,""" +
         s""""lsh_candidate_pairs":$lshCandidates,"lsh_verified_pairs":$lshVerified,""" +
+        f""""cc_sec":$ccSec%.3f,"cc_clusters":$ccClusters,""" +
         f""""kmv_sec":$kmvSec%.3f,"kmv_tokens_per_sec":${totalTokens / kmvSec}%.0f,"kmv_secs":${jsonArr(kmvSecs)}%s,""" +
         f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}"""
     val full = headline.dropRight(1) + s""","queries":$qJson}"""

@@ -791,6 +791,11 @@ object SketchQueries {
     *     bit-for-bit). This pins the weighting MECHANISM exactly; the
     *     w_i/Σw inclusion-probability statistics are property-tested
     *     across varied SipHash keys in BottomKPropertiesSpec.
+    *  6. str_* twins — the STRING-layout weighted sample (the input
+    *     schema's doc_id is a string; no numeric cast) under the same
+    *     serialized-merge-identity and independent exact-topk gates (its
+    *     ES keys hash the UTF-8 bytes, so it is a different, equally
+    *     weighted draw).
     * At 100 TB: the operator branch is one partial-aggregated groupBy
     * shuffling <= k-entry summaries; the window-ranked branch exists only
     * for gate 5. */
@@ -817,29 +822,61 @@ object SketchQueries {
       .select(col("source"), explode(col("vals")).as("doc_id"))
       .join(docs, Seq("source", "doc_id"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_bad"))
-    // gate 5: rebuild every ES key from first principles in SQL and rank
-    val u = (shiftrightunsigned(
-        GraftFunctions.sipHash64(col("doc_id"), K0, K1), 11).cast("double") + lit(1.0)) /
-      lit(9007199254740992.0) // 2^53 — u in (0, 1], matching BottomK.esKey
-    val esKeyCol = -log(u) / col("w").cast("double")
+    // gate 5: rebuild every ES key from first principles in SQL and rank.
+    // Shared with the STRING-layout twin below — the only difference is
+    // which hash seeds u (long vs UTF-8-bytes SipHash), exactly mirroring
+    // the aggregators.
+    def esKeyOf(hash: Column): Column = {
+      val u = (shiftrightunsigned(hash, 11).cast("double") + lit(1.0)) /
+        lit(9007199254740992.0) // 2^53 — u in (0, 1], matching BottomK.esKey
+      -log(u) / col("w").cast("double")
+    }
     val ranked = docs
-      .withColumn("es_key", esKeyCol)
+      .withColumn("es_key", esKeyOf(GraftFunctions.sipHash64(col("doc_id"), K0, K1)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("es_key"), col("doc_id"))))
       .where(col("rn") <= k)
       .groupBy(col("source")).agg(sort_array(collect_list(col("doc_id"))).as("expected"))
+    // STRING layout over the same ids as strings (the input schema's doc_id
+    // IS a string): its ES keys hash the UTF-8 bytes, so the string sample
+    // is a DIFFERENT (equally weighted) draw with its own exact-topk twin
+    val docsStr = docs.select(col("source"),
+      col("doc_id").cast("string").as("doc_id_str"), col("w"))
+    val strAggW = udaf(new BottomKWeightedStringAgg(K0, K1, k),
+      ExpressionEncoder[(String, Long)]())
+    val strMergeW = udaf(new BottomKWeightedStringMergeAgg(K0, K1), binaryEnc)
+    val strDirect = docsStr.groupBy(col("source"))
+      .agg(strAggW(col("doc_id_str"), col("w")).as("wssk"))
+    val strTwoLevel = docsStr
+      .groupBy(col("source"),
+        pmod(GraftFunctions.sipHash64(col("doc_id_str")), lit(5L)).as("shard"))
+      .agg(strAggW(col("doc_id_str"), col("w")).as("partial"))
+      .groupBy(col("source")).agg(strMergeW(col("partial")).as("wssk_merged"))
+    val strWithVals = strDirect.select(col("source"), col("wssk"),
+      SketchReaders.sampleWeightedStrings(col("wssk")).as("wsvals"))
+    val strRanked = docsStr
+      .withColumn("es_key", esKeyOf(GraftFunctions.sipHash64(col("doc_id_str"), K0, K1)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("es_key"), col("doc_id_str"))))
+      .where(col("rn") <= k)
+      .groupBy(col("source")).agg(sort_array(collect_list(col("doc_id_str"))).as("str_expected"))
     withVals
       .join(exact, "source")
       .join(repart, "source")
       .join(twoLevel, "source")
       .join(nonMembers, Seq("source"), "left")
       .join(ranked, "source")
+      .join(strWithVals, "source")
+      .join(strTwoLevel, "source")
+      .join(strRanked, "source")
       .select(col("source"),
         (size(col("vals")) === least(lit(k), col("nd"))).as("size_ok"),
         (coalesce(col("n_bad"), lit(0L)) === 0L).as("members_ok"),
         (col("sk") === col("sk_repart")).as("partition_invariant"),
         (col("sk") === col("sk_merged")).as("merge_matches_direct"),
-        (sort_array(col("vals")) === col("expected")).as("matches_exact_topk"))
+        (sort_array(col("vals")) === col("expected")).as("matches_exact_topk"),
+        (col("wssk") === col("wssk_merged")).as("str_merge_matches_direct"),
+        (sort_array(col("wsvals")) === col("str_expected")).as("str_matches_exact_topk"))
       .orderBy(col("source"))
   }
 

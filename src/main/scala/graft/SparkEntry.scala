@@ -184,7 +184,8 @@ object SparkEntry {
       "q_sample_weighted" ->
         ("SELECT source, true AS size_ok, true AS members_ok, " +
           "true AS partition_invariant, true AS merge_matches_direct, " +
-          "true AS matches_exact_topk " +
+          "true AS matches_exact_topk, true AS str_merge_matches_direct, " +
+          "true AS str_matches_exact_topk " +
           "FROM documents WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0 " +
           "GROUP BY source ORDER BY source"),
       // near-dup cluster resolution: DuckDB recomputes the components

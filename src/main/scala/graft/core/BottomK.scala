@@ -208,13 +208,13 @@ object BottomK {
   def fromBytesWeighted(bytes: Array[Byte]): (Array[Long], Array[Long], Int, Long, Long) =
     fromBytesV(bytes, SerialVersionWeighted)
 
-  def toBytesStr(hashes: Array[Long], values: Array[Array[Byte]], size: Int,
-      keyHash: Long): Array[Byte] = {
+  private def toBytesStrV(version: Long, hashes: Array[Long], values: Array[Array[Byte]],
+      size: Int, keyHash: Long): Array[Byte] = {
     var payload = 0
     var i = 0
     while (i < size) { payload += 4 + values(i).length; i += 1 }
     val bb = ByteBuffer.allocate(40 + 8 * size + payload).order(ByteOrder.BIG_ENDIAN)
-    header(bb, SerialVersion, BlockedBloom.TypeTag.String, keyHash, hashes.length, size)
+    header(bb, version, BlockedBloom.TypeTag.String, keyHash, hashes.length, size)
     i = 0
     while (i < size) { bb.putLong(hashes(i)); i += 1 }
     i = 0
@@ -222,10 +222,27 @@ object BottomK {
     bb.array()
   }
 
+  def toBytesStr(hashes: Array[Long], values: Array[Array[Byte]], size: Int,
+      keyHash: Long): Array[Byte] =
+    toBytesStrV(SerialVersion, hashes, values, size, keyHash)
+
+  /** ES-weighted STRING layout (version 2 — same bytes, weighted keys). */
+  def toBytesStrWeighted(hashes: Array[Long], values: Array[Array[Byte]], size: Int,
+      keyHash: Long): Array[Byte] =
+    toBytesStrV(SerialVersionWeighted, hashes, values, size, keyHash)
+
   /** Returns (hashes[k], values[k], size, keyHash) for the STRING layout. */
-  def fromBytesStr(bytes: Array[Byte]): (Array[Long], Array[Array[Byte]], Int, Long) = {
+  def fromBytesStr(bytes: Array[Byte]): (Array[Long], Array[Array[Byte]], Int, Long) =
+    fromBytesStrV(bytes, SerialVersion)
+
+  /** Same tuple for the ES-WEIGHTED string layout (version 2). */
+  def fromBytesStrWeighted(bytes: Array[Byte]): (Array[Long], Array[Array[Byte]], Int, Long) =
+    fromBytesStrV(bytes, SerialVersionWeighted)
+
+  private def fromBytesStrV(bytes: Array[Byte],
+      expectVersion: Long): (Array[Long], Array[Array[Byte]], Int, Long) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    val (typeTag, keyHash, k, size) = readHeader(bytes, bb, SerialVersion)
+    val (typeTag, keyHash, k, size) = readHeader(bytes, bb, expectVersion)
     require(typeTag == BlockedBloom.TypeTag.String,
       s"BottomK: tag ${BlockedBloom.TypeTag.name(typeTag)} payload decoded with the string-layout reader")
     // each value carries at least its 4-byte length prefix; checking 12*size

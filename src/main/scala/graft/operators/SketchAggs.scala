@@ -680,6 +680,66 @@ object SketchAggs {
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
 
+  /** WEIGHT-PROPORTIONAL sample of k distinct STRING values per group —
+    * the ES machinery of [[BottomKWeightedLongAgg]] over the string
+    * layout (the input schema's doc_id IS a string; "k docs per source,
+    * P ∝ n_tok" must not require a numeric cast). Weight <= 0 rows are
+    * skipped; weight must be a function of the value. */
+  final class BottomKWeightedStringAgg(k0: Long, k1: Long, k: Int)
+      extends Aggregator[(String, Long), BottomKStrBuf, Array[Byte]] {
+    override def zero: BottomKStrBuf = {
+      val (h, _) = BottomK.emptyBuffers(k)
+      BottomKStrBuf(h, new Array[Array[Byte]](k), 0)
+    }
+    override def reduce(buf: BottomKStrBuf, x: (String, Long)): BottomKStrBuf = {
+      if (x._1 == null || x._2 <= 0L) buf
+      else {
+        val bytes = x._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val key = BottomK.esKey(SipHash.hash64(k0, k1, bytes), x._2.toDouble)
+        val s = BottomK.addG(buf.hashes, buf.values, buf.size, key, bytes)
+        if (s == buf.size) buf else BottomKStrBuf(buf.hashes, buf.values, s)
+      }
+    }
+    override def merge(b1: BottomKStrBuf, b2: BottomKStrBuf): BottomKStrBuf = {
+      val (h, v, s) = BottomK.mergeG(b1.hashes, b1.values, b1.size, b2.hashes, b2.values, b2.size)
+      BottomKStrBuf(h, v, s)
+    }
+    override def finish(buf: BottomKStrBuf): Array[Byte] =
+      BottomK.toBytesStrWeighted(buf.hashes, buf.values, buf.size, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[BottomKStrBuf] = ExpressionEncoder[BottomKStrBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
+  /** Serialized second-level merge for ES-WEIGHTED STRING samples
+    * (version-2 string layout; family conventions). */
+  final class BottomKWeightedStringMergeAgg(k0: Long, k1: Long)
+      extends Aggregator[Array[Byte], BottomKStrBuf, Array[Byte]] {
+    override def zero: BottomKStrBuf = BottomKStrBuf(null, null, 0)
+
+    private def decode(x: Array[Byte]): BottomKStrBuf = {
+      val (h, v, s, storedKeyHash) = BottomK.fromBytesStrWeighted(x)
+      require(storedKeyHash == kmvKeyHash(k0, k1),
+        "BottomK merge: sample was built with a different SipHash key")
+      BottomKStrBuf(h, v, s)
+    }
+
+    private def mergeBufs(a: BottomKStrBuf, b: BottomKStrBuf): BottomKStrBuf = {
+      if (a.hashes == null) return b
+      if (b.hashes == null) return a
+      val (h, v, s) = BottomK.mergeG(a.hashes, a.values, a.size, b.hashes, b.values, b.size)
+      BottomKStrBuf(h, v, s)
+    }
+
+    override def reduce(buf: BottomKStrBuf, x: Array[Byte]): BottomKStrBuf =
+      if (x == null || x.isEmpty) buf else mergeBufs(buf, decode(x))
+    override def merge(b1: BottomKStrBuf, b2: BottomKStrBuf): BottomKStrBuf = mergeBufs(b1, b2)
+    override def finish(buf: BottomKStrBuf): Array[Byte] =
+      if (buf.hashes == null) Array.emptyByteArray
+      else BottomK.toBytesStrWeighted(buf.hashes, buf.values, buf.size, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[BottomKStrBuf] = ExpressionEncoder[BottomKStrBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
   /** Serialized second-level merge for STRING-valued samples (family
     * conventions: empty skipped, empty group -> empty array, cross-capacity
     * folds down, key enforced; the layout tag is enforced by

@@ -351,6 +351,8 @@ object GraftFunctions {
       SketchReaders.sampleStringsBuilder _),
     (SketchReaders.SampleWeightedValuesName, classOf[BottomKValuesExpr],
       SketchReaders.sampleWeightedValuesBuilder _),
+    (SketchReaders.SampleWeightedStringsName, classOf[BottomKStringsExpr],
+      SketchReaders.sampleWeightedStringsBuilder _),
     (VectorFunctions.CosineSimName, classOf[CosineSimExpr], VectorFunctions.cosineBuilder _),
     (VectorFunctions.SrpBandsName, classOf[SrpBandsExpr], VectorFunctions.srpBandsBuilder _))
 
@@ -406,6 +408,12 @@ object GraftFunctions {
         ExpressionEncoder[(Long, Long)]()))
     spark.udf.register("graft_sample_weighted_merge",
       udaf(new BottomKWeightedMergeAgg(Keys.DefaultK0, Keys.DefaultK1), ExpressionEncoder[Array[Byte]]()))
+    spark.udf.register("graft_sample_weighted_str",
+      udaf(new BottomKWeightedStringAgg(Keys.DefaultK0, Keys.DefaultK1, 64),
+        ExpressionEncoder[(String, Long)]()))
+    spark.udf.register("graft_sample_weighted_str_merge",
+      udaf(new BottomKWeightedStringMergeAgg(Keys.DefaultK0, Keys.DefaultK1),
+        ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_hll_merge",
       udaf(new graft.jobs.HllBytesMergeAgg, ExpressionEncoder[Array[Byte]]()))
     spark.udf.register("graft_cms_merge",

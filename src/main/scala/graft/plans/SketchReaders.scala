@@ -570,11 +570,13 @@ case class BottomKValuesExpr(child: Expression, weighted: Boolean = false)
   * bottom-k sample's values in hash order (uniform random permutation for
   * a fixed key). Same cache/codegen/empty-payload shape as
   * [[BottomKValuesExpr]]. */
-case class BottomKStringsExpr(child: Expression) extends UnaryExpression {
+case class BottomKStringsExpr(child: Expression, weighted: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "graft_sample_strings"
+  override def prettyName: String =
+    if (weighted) "graft_sample_weighted_strings" else "graft_sample_strings"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != BinaryType)
@@ -583,7 +585,8 @@ case class BottomKStringsExpr(child: Expression) extends UnaryExpression {
 
   @transient private lazy val cache =
     new ReaderCache[org.apache.spark.sql.catalyst.util.GenericArrayData](bytes => {
-      val (_, v, s, _) = BottomK.fromBytesStr(bytes)
+      val (_, v, s, _) =
+        if (weighted) BottomK.fromBytesStrWeighted(bytes) else BottomK.fromBytesStr(bytes)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         v.take(s).map(b => UTF8String.fromBytes(b): Any))
     })
@@ -624,6 +627,7 @@ object SketchReaders {
   val SampleValuesName = "graft_sample_values"
   val SampleStringsName = "graft_sample_strings"
   val SampleWeightedValuesName = "graft_sample_weighted_values"
+  val SampleWeightedStringsName = "graft_sample_weighted_strings"
 
   // optional-key literal parsing shared with the other builders
   private def keyLit(e: Expression): Option[Long] = GraftFunctions.keyLit(e)
@@ -703,6 +707,11 @@ object SketchReaders {
     case _ => throw new IllegalArgumentException(s"$SampleWeightedValuesName expects (sample BINARY)")
   }
 
+  private[plans] def sampleWeightedStringsBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => BottomKStringsExpr(s, weighted = true)
+    case _ => throw new IllegalArgumentException(s"$SampleWeightedStringsName expects (sample BINARY)")
+  }
+
   private[plans] def rankBuilder(isKll: Boolean)(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, x) => RankReadExpr(s, asDouble(x), isKll)
     case _ => throw new IllegalArgumentException(
@@ -730,4 +739,6 @@ object SketchReaders {
   def sampleStrings(sample: Column): Column = call_function(SampleStringsName, sample)
   def sampleWeightedValues(sample: Column): Column =
     call_function(SampleWeightedValuesName, sample)
+  def sampleWeightedStrings(sample: Column): Column =
+    call_function(SampleWeightedStringsName, sample)
 }

@@ -521,6 +521,27 @@ object StreamingSketch {
       .agg(kmvU(col("tokens")).as("kmv"))
   }
 
+  /** Per-(window, source) WEIGHTED bottom-k sample over keyed rows
+    * (tsCol, source, id bigint, w bigint): inclusion probability ∝ w,
+    * Efraimidis–Spirakis keys ([[graft.core.BottomK.esKey]]). Like the
+    * uniform sample, the retained set is a pure function of the
+    * (id, w) set — order-insensitive — so the state-store merge across
+    * out-of-order micro-batches is BYTE-IDENTICAL to a serial build
+    * (tested): deterministic weighted streaming sampling, e.g. "k docs
+    * per window weighted by n_tok". */
+  def windowedWeightedSample(
+      rows: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      k0: Long, k1: Long, k: Int): DataFrame = {
+    val wU = udaf(new BottomKWeightedLongAgg(k0, k1, k), ExpressionEncoder[(Long, Long)]())
+    rows
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col("source"))
+      .agg(wU(col("id"), col("w")).as("sample"))
+  }
+
   /** Per-(window, source) bottom-k uniform sample of distinct tokens
     * ([[graft.core.BottomK]]). The retained sample is a pure function of
     * the element SET — order-insensitive like KMV — so the state-store

@@ -187,6 +187,26 @@ class BottomKSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BottomK.fromBytesWeighted(uniformBytes))
   }
 
+  test("weighted STRING layout round-trips and refuses uniform string payloads") {
+    val elems = (1 to 60).map(i => (s"doc$i", (i % 5 + 1).toDouble))
+    val h = new Array[Long](8)
+    val v = new Array[Array[Byte]](8)
+    var s = 0
+    elems.foreach { case (x, w) =>
+      val bytes = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      s = BottomK.addG(h, v, s, BottomK.esKey(SipHash.hash64(k0, k1, bytes), w), bytes)
+    }
+    val bytes = BottomK.toBytesStrWeighted(h, v, s, 0xabcL)
+    val (h2, v2, s2, keyHash) = BottomK.fromBytesStrWeighted(bytes)
+    assert(s2 === s && keyHash === 0xabcL && h2.take(s).sameElements(h.take(s)))
+    (0 until s).foreach(i => assert(v2(i).sameElements(v(i))))
+    // version and layout cross-decodes all fail loudly
+    intercept[IllegalArgumentException](BottomK.fromBytesStr(bytes))          // v2 as v1
+    intercept[IllegalArgumentException](BottomK.fromBytesWeighted(bytes))     // string as long
+    val uniformStr = BottomK.toBytesStr(h2, v2, s2, 0xabcL)
+    intercept[IllegalArgumentException](BottomK.fromBytesStrWeighted(uniformStr)) // v1 as v2
+  }
+
   test("weighted split + serialized merge equals single build, any split") {
     val elems = (1L to 500L).map(x => (x, (x % 13 + 1).toDouble))
     val (dh, dv, ds) = buildWeighted(32, elems)

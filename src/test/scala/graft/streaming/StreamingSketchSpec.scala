@@ -213,6 +213,41 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("windowed WEIGHTED sample is byte-identical to a serial build (P ∝ w, streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long, Long)]
+    val df = stream.toDF().toDF("ts", "source", "id", "w")
+    val out = StreamingSketch.windowedWeightedSample(
+      df, "ts", "10 minutes", "5 minutes", Keys.DefaultK0, Keys.DefaultK1, k = 4)
+    val query = out.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_wbk").start()
+    try {
+      // (id, weight = id % 7 + 1) across out-of-order micro-batches
+      def w(id: Long): Long = id % 7 + 1
+      val batch1 = (1L to 20L).map(i => (ts(1), "a", i, w(i)))
+      val batch2 = (21L to 60L).map(i => (ts(3), "a", i, w(i))) ++ Seq((ts(1), "a", 1L, w(1L)))
+      stream.addData(batch1)
+      query.processAllAvailable()
+      stream.addData(batch2)
+      query.processAllAvailable()
+      val bytes = spark.table("stream_wbk")
+        .where(col("source") === "a").head().getAs[Array[Byte]]("sample")
+      val (sh, sv) = graft.core.BottomK.emptyBuffers(4)
+      var s = 0
+      (1L to 60L).foreach { i =>
+        s = graft.core.BottomK.add(sh, sv, s,
+          graft.core.BottomK.esKey(
+            graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, i), w(i).toDouble), i)
+      }
+      val serialBytes = graft.core.BottomK.toBytesWeighted(sh, sv, s,
+        graft.core.BlockedBloom.TypeTag.Long,
+        graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, Keys.DefaultK0 ^ Keys.DefaultK1))
+      assert(java.util.Arrays.equals(bytes, serialBytes),
+        "streaming weighted sample differs from serial build")
+    } finally query.stop()
+  }
+
   test("session-window KMV: sessions merge across micro-batches, close on watermark, bytes = serial") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
