@@ -353,6 +353,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     empty.unpersist()
   }
 
+  test("connected components match union-find on random graphs (seeded)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference components via union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val cc = TextPipeline.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cc.unpersist()
+      assert(got === expected, s"seed $seed")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("minHashDedupClusters resolves planted dup groups end to end") {
     // planted corpus: dup00i pairs with base00i, copies pair with their
     // bases — every cluster's winner is the lexically-smallest doc_id

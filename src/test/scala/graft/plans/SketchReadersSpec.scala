@@ -300,6 +300,34 @@ class SketchReadersSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("weighted-sample readers: values in-universe, version enforced, empty merge reads NULL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (1L to 200L).map(i => (i, i % 9 + 1, s"d$i")).toDF("id", "w", "sid")
+    df.createOrReplaceTempView("wdocs")
+    val row = spark.sql(
+      """SELECT graft_sample_weighted_values(graft_sample_weighted(id, w)) AS vals,
+        |       graft_sample_weighted_strings(graft_sample_weighted_str(sid, w)) AS svals
+        |FROM wdocs""".stripMargin).head()
+    val vals = row.getSeq[Long](0)
+    assert(vals.nonEmpty && vals.size <= 64 && vals.forall(v => v >= 1L && v <= 200L))
+    val svals = row.getSeq[String](1)
+    assert(svals.nonEmpty && svals.size <= 64 && svals.forall(_.startsWith("d")))
+    // a weighted payload must not read through the UNIFORM reader (and
+    // vice versa): the version check surfaces as a query failure
+    intercept[Exception] {
+      spark.sql("SELECT graft_sample_values(graft_sample_weighted(id, w)) FROM wdocs").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_sample_weighted_values(graft_sample_bottomk(id)) FROM wdocs").collect()
+    }
+    // serialized merge over an EMPTY group -> empty payload -> SQL NULL
+    val empty = spark.sql(
+      """SELECT graft_sample_weighted_values(graft_sample_weighted_merge(p)) AS v
+        |FROM (SELECT CAST(NULL AS BINARY) AS p FROM wdocs WHERE id < 0)""".stripMargin).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("graft_ivf_assign: identical to the UDF assignment on ragged/zero/plain vectors, codegen") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
