@@ -83,9 +83,15 @@ object PipelineQueries {
     val pairs = TextPipeline.minHashNearDups(d, "doc_id", "text",
       shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
       .select(col("doc_a"), col("doc_b")).persist()
-    val cc = TextPipeline.connectedComponents(pairs)
-    val ccRepart = TextPipeline.connectedComponents(pairs.repartition(7, col("doc_a")))
+    // built INSIDE the try: connectedComponents can throw (convergence
+    // require, any job failure), and Verify keeps the session running
+    // after a per-query failure — a persisted frame built outside the
+    // try would leak for the rest of the 42-query run
+    var cc: DataFrame = null
+    var ccRepart: DataFrame = null
     try {
+      cc = TextPipeline.connectedComponents(pairs)
+      ccRepart = TextPipeline.connectedComponents(pairs.repartition(7, col("doc_a")))
       // bool AND via min(); full outer so a node present in only one run
       // (impossible when deterministic) forces false, not a dropped row
       val det = cc
@@ -112,8 +118,8 @@ object PipelineQueries {
       val rows = result.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     } finally {
-      cc.unpersist()
-      ccRepart.unpersist()
+      if (ccRepart != null) ccRepart.unpersist()
+      if (cc != null) cc.unpersist()
       pairs.unpersist()
     }
   }
@@ -175,23 +181,45 @@ object PipelineQueries {
     *  - sample_size_ok / sample_members_ok: the per-source ES-weighted
     *    sample (k docs, P ∝ n_tok) drawn FROM THE FRAME has the right
     *    size and only frame members.
-    * Plan shape: one projection (token counts, quality, fingerprint), one
-    * fingerprint-keyed window for survival, one source-keyed aggregation
-    * carrying the <= k-entry weighted-sample summaries — two shuffles
-    * total at any scale. */
+    * Plan shape: one projection (token counts, quality, fingerprint) into
+    * one fingerprint-keyed window for survival, persisted as a SLIM frame
+    * (ids + flags, no text) that BOTH consumers reuse — the source-keyed
+    * aggregation carrying the <= k-entry weighted-sample summaries AND
+    * the membership gate's anti-join. Without the persist, Spark would
+    * recompute the projection + window lineage for the gate: a second
+    * full corpus scan and a second wide shuffle at 100 TB. The tiny
+    * per-source result is materialized before release
+    * (unpersist-in-finally convention). */
   def samplingFrame(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.SketchAggs.BottomKWeightedLongAgg
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    graft.plans.GraftFunctions.registerExpressions(spark)
-    val k = 8
+    val flagged = slimSamplingFlags(spark, dir).persist()
+    try {
+      val result = samplingFrameOn(spark, flagged)
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally flagged.unpersist()
+  }
+
+  /** The slim (ids + flags, no text) frame both consumers share. */
+  private def slimSamplingFlags(spark: SparkSession, dir: String): DataFrame = {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
-    val flagged = TextPipeline.withQualityMetrics(d)
+    TextPipeline.withQualityMetrics(d)
       .withColumn("fp", TextPipeline.fingerprintCol(d, col("text")))
       .withColumn("kept", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
           .orderBy(col("doc_id"))) === 1)
       .withColumn("in_frame", col("kept") && col("quality_ok") && col("word_count") > 0)
+      .select(col("source"), col("doc_id"), col("word_count"),
+        col("quality_ok"), col("kept"), col("in_frame"))
+  }
+
+  /** Stats + gate over a (usually persisted) slim frame; lazy, so
+    * PlanCheck can capture the real plan via [[samplingFramePlan]]. */
+  private def samplingFrameOn(spark: SparkSession, flagged: DataFrame): DataFrame = {
+    import graft.operators.SketchAggs.BottomKWeightedLongAgg
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val k = 8
     val aggW = udaf(new BottomKWeightedLongAgg(
       graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1, k),
       ExpressionEncoder[(Long, Long)]())
@@ -222,6 +250,11 @@ object PipelineQueries {
         (coalesce(col("n_bad"), lit(0L)) === 0L).as("sample_members_ok"))
       .orderBy(col("source"))
   }
+
+  /** Lazy twin for plan capture (PlanCheck) — same plan over the
+    * persisted slim frame, no collect. */
+  private[graft] def samplingFramePlan(spark: SparkSession, dir: String): DataFrame =
+    samplingFrameOn(spark, slimSamplingFlags(spark, dir).persist())
 
   /** Exact per-doc token count under the BPE-ish regex tokenizer (the
     * second tokenization mode next to whitespace `q_token_count_exact`). */

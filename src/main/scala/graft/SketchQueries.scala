@@ -581,6 +581,17 @@ object SketchQueries {
       .orderBy(col("source"))
   }
 
+  /** Doc-dependent key blow-up shared by the Misra-Gries gates (batch
+    * unweighted + weighted) and the streaming trending-tokens twin: every
+    * fifth token keeps one global key, the rest fan out per doc_id residue
+    * — vocab >> capacity so the summaries are genuinely lossy. ONE
+    * definition: the weighted gate's correctness rests on its exact frame
+    * being recomputed over the SAME keys as the unweighted sibling's, so
+    * the expression must not be able to drift between copies. */
+  private[graft] def keyBlowup(token: Column, docId: Column): Column =
+    when(token % 5 === 0, token.cast("long") * 1000L)
+      .otherwise(token.cast("long") * 1000L + pmod(docId.cast("long"), lit(101L)) + 1L)
+
   /** Misra-Gries heavy hitters for vocab ≫ summary width (round-2 VERDICT
     * #6 — `cmsTopK`'s exactness needs width ≫ vocab plus candidate
     * enumeration; this operator needs neither). The key universe is blown
@@ -601,10 +612,7 @@ object SketchQueries {
     val t = Tokens.table(spark, dir)
     val stream = t
       .select(col("source"), col("doc_id"), explode(col("tokens")).as("token"))
-      .select(col("source"),
-        when(col("token") % 5 === 0, col("token").cast("long") * 1000L)
-          .otherwise(col("token").cast("long") * 1000L + pmod(col("doc_id").cast("long"), lit(101L)) + 1L)
-          .as("key"))
+      .select(col("source"), keyBlowup(col("token"), col("doc_id")).as("key"))
     val hhUdaf = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
     val sk = stream.groupBy(col("source")).agg(hhUdaf(col("key")).as("sk"))
     val exact = stream.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))
@@ -675,9 +683,7 @@ object SketchQueries {
     val stream = t
       .select(col("source"), col("doc_id"), explode(col("tokens")).as("token"))
       .select(col("source"), col("doc_id"),
-        when(col("token") % 5 === 0, col("token").cast("long") * 1000L)
-          .otherwise(col("token").cast("long") * 1000L + pmod(col("doc_id").cast("long"), lit(101L)) + 1L)
-          .as("key"))
+        keyBlowup(col("token"), col("doc_id")).as("key"))
     val perDoc = stream
       .groupBy(col("source"), col("doc_id"), col("key"))
       .agg(count(lit(1)).as("w"))
@@ -786,9 +792,14 @@ object SketchQueries {
     *  5. matches_exact_topk — the sampled id set EQUALS an independent
     *     per-row recomputation of the k smallest ES keys, where the key
     *     -ln(u)/w is rebuilt from scratch in SQL (native `graft_sip_hash64`
-    *     + double arithmetic; Spark's `log` and the aggregator's
-    *     `math.log` are the same `Math.log`, so the doubles match
-    *     bit-for-bit). This pins the weighting MECHANISM exactly; the
+    *     + double arithmetic; Spark SQL's `log` emits `StrictMath.log` in
+    *     eval AND codegen, and [[graft.core.BottomK.esKey]] deliberately
+    *     uses `StrictMath.log` too — the `Math.log` intrinsic differs by
+    *     1 ulp on ~7% of x86_64 inputs, which would make this equality
+    *     gate input-dependently flaky — so the doubles match
+    *     bit-for-bit; key ties break by value on BOTH sides, matching the
+    *     aggregator's (key, value) pair identity).
+    *     This pins the weighting MECHANISM exactly; the
     *     w_i/Σw inclusion-probability statistics are property-tested
     *     across varied SipHash keys in BottomKPropertiesSpec.
     *  6. str_* twins — the STRING-layout weighted sample (the input

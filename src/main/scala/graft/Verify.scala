@@ -15,8 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-only subset filter (comma-separated names); driver leaves it unset
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').map(_.trim).toSet)
+    // dev-only subset filter (comma-separated names); driver leaves it unset.
+    // Fail FAST on an empty value or a typo'd name — otherwise the filter
+    // silently matches nothing and Verify exits green having verified
+    // nothing (a vacuous pass).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map { raw =>
+      val names = raw.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(names.nonEmpty, "SPARK_GRAFT_QUERIES is set but names no queries")
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      names
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

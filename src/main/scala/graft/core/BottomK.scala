@@ -104,11 +104,98 @@ object BottomK {
     * drops into the unsigned-ascending bottom-k machinery unchanged.
     * (-ln maps u = 1 to bits 0; underflow-to-+Inf on subnormal weights
     * still orders last.) Weight must be > 0; callers skip w <= 0 rows
-    * (zero sampling mass). */
+    * (zero sampling mass).
+    *
+    * StrictMath.log, NOT math.log: Spark SQL's `log()` expression emits
+    * `java.lang.StrictMath.log` in both eval and codegen, while the
+    * `Math.log` HotSpot intrinsic differs from it by 1 ulp on ~7% of
+    * inputs on x86_64 — the driver gate rebuilds this key from first
+    * principles in SQL and compares sample sets for EQUALITY, so the two
+    * log implementations must be the same function bit-for-bit. */
   def esKey(hash: Long, weight: Double): Long = {
     require(weight > 0.0, s"BottomK.esKey: weight must be > 0, got $weight")
     val u = ((hash >>> 11) + 1).toDouble / 9007199254740992.0 // 2^53, u in (0, 1]
-    java.lang.Double.doubleToLongBits(-math.log(u) / weight)
+    java.lang.Double.doubleToLongBits(-StrictMath.log(u) / weight)
+  }
+
+  // ------------------------- weighted (ES) insert/merge: PAIR identity
+
+  /** Value tie-break for LONG samples: signed ascending, matching the SQL
+    * gate's `ORDER BY es_key, doc_id`. */
+  @inline def cmpLong(a: Long, b: Long): Int = java.lang.Long.compare(a, b)
+
+  /** Value tie-break for STRING samples: unsigned lexicographic over the
+    * UTF-8 bytes — Spark's UTF8_BINARY string ordering (NOT Java
+    * String.compareTo, whose UTF-16 code-unit order disagrees above the
+    * BMP). */
+  def cmpUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+
+  /** Weighted-sample insert. Unlike [[addG]], the slot key here is the ES
+    * double-bits, which CAN collide across DISTINCT elements: u has only
+    * 53 bits, weights repeat (w = n_tok), and the quotient rounds to 52
+    * mantissa bits — at ~1e9 same-weight docs per group the expected
+    * number of key collisions is double digits (birthday over 2^53).
+    * Entry identity is therefore the (key, value) PAIR: entries sort by
+    * (key asc-unsigned, value asc by `cmp`) and only an exact pair is a
+    * duplicate — mirroring the gate's `row_number() OVER (ORDER BY
+    * es_key, value)` recomputation, which keeps both colliding docs. */
+  def addW[V](hashes: Array[Long], values: Array[V], size: Int, h: Long, v: V,
+      cmp: (V, V) => Int): Int = {
+    val k = hashes.length
+    if (size == k) {
+      val lastH = hashes(k - 1)
+      if (lt(lastH, h) || (lastH == h && cmp(values(k - 1), v) <= 0)) return size
+    }
+    val pos = search(hashes, size, h)
+    val ins = if (pos < 0) -pos - 1
+    else {
+      // resolve within the (tiny) equal-key run by value order
+      var i = pos
+      while (i > 0 && hashes(i - 1) == h) i -= 1
+      while (i < size && hashes(i) == h && cmp(values(i), v) < 0) i += 1
+      if (i < size && hashes(i) == h && cmp(values(i), v) == 0)
+        return size // exact (key, value) duplicate
+      i
+    }
+    val newSize = if (size < k) size + 1 else size
+    val moved = newSize - 1 - ins
+    if (moved > 0) {
+      System.arraycopy(hashes, ins, hashes, ins + 1, moved)
+      System.arraycopy(values, ins, values, ins + 1, moved)
+    }
+    hashes(ins) = h
+    values(ins) = v
+    newSize
+  }
+
+  /** Weighted union-merge: two-pointer over (key, value)-sorted buffers,
+    * deduplicating exact pairs only (the weighted twin of [[mergeG]]). */
+  def mergeW[V](aH: Array[Long], aV: Array[V], aSize: Int,
+      bH: Array[Long], bV: Array[V], bSize: Int, cmp: (V, V) => Int)(
+      implicit ct: scala.reflect.ClassTag[V]): (Array[Long], Array[V], Int) = {
+    val k = math.min(aH.length, bH.length)
+    val outH = new Array[Long](k)
+    val outV = new Array[V](k)
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < aSize || j < bSize)) {
+      val takeA = j >= bSize || (i < aSize && (lt(aH(i), bH(j)) ||
+        (aH(i) == bH(j) && cmp(aV(i), bV(j)) <= 0)))
+      val (h, v) = if (takeA) { val p = (aH(i), aV(i)); i += 1; p }
+                   else { val p = (bH(j), bV(j)); j += 1; p }
+      if (n == 0 || outH(n - 1) != h || cmp(outV(n - 1), v) != 0) {
+        outH(n) = h; outV(n) = v; n += 1
+      }
+    }
+    (outH, outV, n)
   }
 
   // --- serialization: [version, typeTag, keyHash, k, size] BE header +

@@ -599,12 +599,13 @@ object SketchAggs {
       if (x._2 <= 0L) buf
       else {
         val key = BottomK.esKey(SipHash.hashLong(k0, k1, x._1), x._2.toDouble)
-        val s = BottomK.add(buf.hashes, buf.values, buf.size, key, x._1)
+        val s = BottomK.addW(buf.hashes, buf.values, buf.size, key, x._1, BottomK.cmpLong)
         if (s == buf.size) buf else BottomKBuf(buf.hashes, buf.values, s)
       }
     }
     override def merge(b1: BottomKBuf, b2: BottomKBuf): BottomKBuf = {
-      val (h, v, s) = BottomK.merge(b1.hashes, b1.values, b1.size, b2.hashes, b2.values, b2.size)
+      val (h, v, s) = BottomK.mergeW(b1.hashes, b1.values, b1.size,
+        b2.hashes, b2.values, b2.size, BottomK.cmpLong)
       BottomKBuf(h, v, s)
     }
     override def finish(buf: BottomKBuf): Array[Byte] =
@@ -634,7 +635,8 @@ object SketchAggs {
       if (b.hashes == null) return a
       require(a.typeTag == b.typeTag,
         s"BottomK merge: element type mismatch ${a.typeTag} vs ${b.typeTag}")
-      val (h, v, s) = BottomK.merge(a.hashes, a.values, a.size, b.hashes, b.values, b.size)
+      val (h, v, s) = BottomK.mergeW(a.hashes, a.values, a.size,
+        b.hashes, b.values, b.size, BottomK.cmpLong)
       BottomKMergeBuf(h, v, s, a.typeTag)
     }
 
@@ -696,12 +698,13 @@ object SketchAggs {
       else {
         val bytes = x._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val key = BottomK.esKey(SipHash.hash64(k0, k1, bytes), x._2.toDouble)
-        val s = BottomK.addG(buf.hashes, buf.values, buf.size, key, bytes)
+        val s = BottomK.addW(buf.hashes, buf.values, buf.size, key, bytes, BottomK.cmpUtf8)
         if (s == buf.size) buf else BottomKStrBuf(buf.hashes, buf.values, s)
       }
     }
     override def merge(b1: BottomKStrBuf, b2: BottomKStrBuf): BottomKStrBuf = {
-      val (h, v, s) = BottomK.mergeG(b1.hashes, b1.values, b1.size, b2.hashes, b2.values, b2.size)
+      val (h, v, s) = BottomK.mergeW(b1.hashes, b1.values, b1.size,
+        b2.hashes, b2.values, b2.size, BottomK.cmpUtf8)
       BottomKStrBuf(h, v, s)
     }
     override def finish(buf: BottomKStrBuf): Array[Byte] =
@@ -726,7 +729,8 @@ object SketchAggs {
     private def mergeBufs(a: BottomKStrBuf, b: BottomKStrBuf): BottomKStrBuf = {
       if (a.hashes == null) return b
       if (b.hashes == null) return a
-      val (h, v, s) = BottomK.mergeG(a.hashes, a.values, a.size, b.hashes, b.values, b.size)
+      val (h, v, s) = BottomK.mergeW(a.hashes, a.values, a.size,
+        b.hashes, b.values, b.size, BottomK.cmpUtf8)
       BottomKStrBuf(h, v, s)
     }
 
@@ -796,7 +800,8 @@ object SketchAggs {
       if (b.hashes == null) return a
       require(a.typeTag == b.typeTag,
         s"BottomK merge: element type mismatch ${a.typeTag} vs ${b.typeTag}")
-      val (h, v, s) = BottomK.merge(a.hashes, a.values, a.size, b.hashes, b.values, b.size)
+      val (h, v, s) = BottomK.mergeW(a.hashes, a.values, a.size,
+        b.hashes, b.values, b.size, BottomK.cmpLong)
       BottomKMergeBuf(h, v, s, a.typeTag)
     }
 

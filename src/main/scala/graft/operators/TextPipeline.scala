@@ -208,9 +208,11 @@ object TextPipeline {
           prop.join(prop.select(col("id").as("lid"), col("label").as("llabel")),
               col("label") === col("lid"))
             .select(col("id"), least(col("label"), col("llabel")).as("label"))).persist()
-        val changed = next
-          .join(labels.withColumnRenamed("label", "old"), "id")
-          .where(col("label") =!= col("old")).count()
+        val changed =
+          try next
+            .join(labels.withColumnRenamed("label", "old"), "id")
+            .where(col("label") =!= col("old")).count()
+          catch { case t: Throwable => next.unpersist(); throw t }
         labels.unpersist()
         labels = next
         done = changed == 0L
@@ -219,6 +221,11 @@ object TextPipeline {
       require(done, s"connectedComponents: no convergence after $maxIters rounds " +
         "(component diameter exceeds 2^iters — not a near-dup-shaped graph)")
       labels.withColumnRenamed("label", "cluster")
+    } catch {
+      // the returned frame stays persisted for the caller (who unpersists
+      // it), but on ANY failure — mid-round job error or the convergence
+      // require — the current labels frame must not leak
+      case t: Throwable => labels.unpersist(); throw t
     } finally edges.unpersist()
   }
 

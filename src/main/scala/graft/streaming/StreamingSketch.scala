@@ -315,9 +315,8 @@ object StreamingSketch {
     val rows = collectReplayRowsId(t, epoch0)
     val stream = MemoryStream[(Timestamp, Long, String, Array[Int])]
     val streamed = stream.toDF().toDF("ts", "doc_id", "source", "tokens")
-    def blowup(token: org.apache.spark.sql.Column, docId: org.apache.spark.sql.Column) =
-      when(token % 5 === 0, token.cast("long") * 1000L)
-        .otherwise(token.cast("long") * 1000L + pmod(docId.cast("long"), lit(101L)) + 1L)
+    // the SAME blow-up as the batch MG gates — one shared definition
+    val blowup = graft.SketchQueries.keyBlowup _
     val keyed = streamed
       .select(col("ts"), col("source"), col("doc_id"), explode(col("tokens")).as("token"))
       .select(col("ts"), col("source"), blowup(col("token"), col("doc_id")).as("key"))

@@ -353,6 +353,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     empty.unpersist()
   }
 
+  test("connected components: non-convergence throws AND unpersists every iteration frame") {
+    import spark.implicits._
+    // a 33-node path cannot converge in 2 pointer-jumping rounds; the
+    // failure path must not leak the persisted labels/edges frames —
+    // Verify keeps the session alive after a per-query failure, so a
+    // leaked cache would squat executor memory for the rest of the run
+    // (review r5)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val path = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException](
+      TextPipeline.connectedComponents(path, maxIters = 2))
+    assert(e.getMessage.contains("no convergence"))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked after failure: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("connected components match union-find on random graphs (seeded)") {
     import spark.implicits._
     for (seed <- Seq(11, 23, 47)) {

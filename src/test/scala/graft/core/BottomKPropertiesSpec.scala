@@ -81,7 +81,8 @@ object BottomKPropertiesSpec extends Properties("BottomK") {
     val (h, v) = BottomK.emptyBuffers(k)
     var s = 0
     elems.foreach { case (x, w) =>
-      s = BottomK.add(h, v, s, BottomK.esKey(SipHash.hashLong(kk0, k1, x), w), x)
+      s = BottomK.addW(h, v, s, BottomK.esKey(SipHash.hashLong(kk0, k1, x), w), x,
+        BottomK.cmpLong)
     }
     (h, v, s)
   }
@@ -96,7 +97,7 @@ object BottomKPropertiesSpec extends Properties("BottomK") {
       val (h, v, s) = buildWeighted(xs, k, k0)
       val expect = xs
         .map { case (x, w) => (BottomK.esKey(SipHash.hashLong(k0, k1, x), w), x) }
-        .sortBy(_._1) // es keys are non-negative double bits: signed order ok
+        .sorted // (key, value) pair order; keys are non-negative double bits
         .take(k)
       Prop(s == expect.length &&
         h.take(s).sameElements(expect.map(_._1)) &&

@@ -136,7 +136,8 @@ class BottomKSpec extends AnyFunSuite {
     val (h, v) = BottomK.emptyBuffers(k)
     var s = 0
     elems.foreach { case (x, w) =>
-      s = BottomK.add(h, v, s, BottomK.esKey(SipHash.hashLong(kk0, k1, x), w), x)
+      s = BottomK.addW(h, v, s, BottomK.esKey(SipHash.hashLong(kk0, k1, x), w), x,
+        BottomK.cmpLong)
     }
     (h, v, s)
   }
@@ -150,7 +151,7 @@ class BottomKSpec extends AnyFunSuite {
     (0 until 2000).foreach { _ =>
       val (h1, h2) = (rnd.nextLong(), rnd.nextLong())
       val (w1, w2) = (rnd.nextInt(50) + 1.0, rnd.nextInt(50) + 1.0)
-      def exp(h: Long, w: Double) = -math.log(((h >>> 11) + 1).toDouble / 9007199254740992.0) / w
+      def exp(h: Long, w: Double) = -StrictMath.log(((h >>> 11) + 1).toDouble / 9007199254740992.0) / w
       val byBits = java.lang.Long.compare(BottomK.esKey(h1, w1), BottomK.esKey(h2, w2))
       val byVal = java.lang.Double.compare(exp(h1, w1), exp(h2, w2))
       assert(math.signum(byBits) === math.signum(byVal))
@@ -194,7 +195,8 @@ class BottomKSpec extends AnyFunSuite {
     var s = 0
     elems.foreach { case (x, w) =>
       val bytes = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      s = BottomK.addG(h, v, s, BottomK.esKey(SipHash.hash64(k0, k1, bytes), w), bytes)
+      s = BottomK.addW(h, v, s, BottomK.esKey(SipHash.hash64(k0, k1, bytes), w), bytes,
+        BottomK.cmpUtf8)
     }
     val bytes = BottomK.toBytesStrWeighted(h, v, s, 0xabcL)
     val (h2, v2, s2, keyHash) = BottomK.fromBytesStrWeighted(bytes)
@@ -218,12 +220,60 @@ class BottomKSpec extends AnyFunSuite {
       val merged = partials.reduce { (a, b) =>
         val (ah, av, as, tag, kh) = BottomK.fromBytesWeighted(a)
         val (bh, bv, bs, _, _) = BottomK.fromBytesWeighted(b)
-        val (mh, mv, ms) = BottomK.merge(ah, av, as, bh, bv, bs)
+        val (mh, mv, ms) = BottomK.mergeW(ah, av, as, bh, bv, bs, BottomK.cmpLong)
         BottomK.toBytesWeighted(mh, mv, ms, tag, kh)
       }
       assert(merged.sameElements(
         BottomK.toBytesWeighted(dh, dv, ds, BlockedBloom.TypeTag.Long, 0xabcL)),
         s"parts=$parts")
     }
+  }
+
+  test("weighted identity is the (key, value) PAIR: colliding ES keys keep BOTH elements") {
+    // two distinct docs whose ES keys collide (same weight, same u bits)
+    // must both survive — only the exact pair is a duplicate. At ~1e9
+    // same-weight docs per group such 2^53-birthday collisions are
+    // expected in double digits; dedup-by-key would silently shrink the
+    // sample below min(k, n) and break the exact-topk gate.
+    val (h, v) = BottomK.emptyBuffers(8)
+    var s = 0
+    val key = BottomK.esKey(0x1234abcdL << 11, 3.0)
+    s = BottomK.addW(h, v, s, key, 77L, BottomK.cmpLong)
+    s = BottomK.addW(h, v, s, key, 13L, BottomK.cmpLong) // collision, smaller value
+    assert(s === 2)
+    assert(h(0) === key && h(1) === key)
+    assert(v(0) === 13L && v(1) === 77L) // value ascending within the run
+    s = BottomK.addW(h, v, s, key, 77L, BottomK.cmpLong) // exact pair dup
+    assert(s === 2)
+    // merge dedups exact pairs only, keeps the colliding distinct pair
+    val (h2, v2) = BottomK.emptyBuffers(8)
+    var s2 = 0
+    s2 = BottomK.addW(h2, v2, s2, key, 77L, BottomK.cmpLong)
+    s2 = BottomK.addW(h2, v2, s2, key, 99L, BottomK.cmpLong)
+    val (mh, mv, ms) = BottomK.mergeW(h, v, s, h2, v2, s2, BottomK.cmpLong)
+    assert(ms === 3)
+    assert(mh.take(3).forall(_ == key) && mv.take(3).sameElements(Array(13L, 77L, 99L)))
+    // saturation tie-break: at capacity, a pair >= the max pair is rejected,
+    // a pair below it displaces the max
+    val (h3, v3) = BottomK.emptyBuffers(2)
+    var s3 = 0
+    s3 = BottomK.addW(h3, v3, s3, key, 20L, BottomK.cmpLong)
+    s3 = BottomK.addW(h3, v3, s3, key, 10L, BottomK.cmpLong)
+    s3 = BottomK.addW(h3, v3, s3, key, 30L, BottomK.cmpLong) // >= max pair: rejected
+    assert(s3 === 2 && v3.take(2).sameElements(Array(10L, 20L)))
+    s3 = BottomK.addW(h3, v3, s3, key, 15L, BottomK.cmpLong) // displaces (key, 20)
+    assert(s3 === 2 && v3.take(2).sameElements(Array(10L, 15L)))
+  }
+
+  test("cmpUtf8 orders by UTF-8 bytes (Spark UTF8_BINARY), not UTF-16 code units") {
+    def b(x: String) = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(BottomK.cmpUtf8(b("a"), b("b")) < 0)
+    assert(BottomK.cmpUtf8(b("a"), b("a")) === 0)
+    assert(BottomK.cmpUtf8(b("ab"), b("a")) > 0)
+    // U+FFFD (BMP, 3-byte UTF-8) vs U+10000 (supplementary, 4-byte):
+    // UTF-8 byte order puts the supplementary char HIGHER, while Java's
+    // String.compareTo would compare the surrogate 0xD800 < 0xFFFD
+    assert(BottomK.cmpUtf8(b("\uFFFD"), b("\uD800\uDC00")) < 0)
+    assert("\uFFFD".compareTo("\uD800\uDC00") > 0) // the divergence being avoided
   }
 }

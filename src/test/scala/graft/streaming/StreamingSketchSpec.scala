@@ -236,9 +236,10 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (sh, sv) = graft.core.BottomK.emptyBuffers(4)
       var s = 0
       (1L to 60L).foreach { i =>
-        s = graft.core.BottomK.add(sh, sv, s,
+        s = graft.core.BottomK.addW(sh, sv, s,
           graft.core.BottomK.esKey(
-            graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, i), w(i).toDouble), i)
+            graft.core.SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, i), w(i).toDouble), i,
+          graft.core.BottomK.cmpLong)
       }
       val serialBytes = graft.core.BottomK.toBytesWeighted(sh, sv, s,
         graft.core.BlockedBloom.TypeTag.Long,
