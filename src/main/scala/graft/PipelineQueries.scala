@@ -339,6 +339,62 @@ object PipelineQueries {
           col("n_found") >= col("n_exact") * lit(0.9)).as("recall_ok"))
   }
 
+  /** Embedding-cosine near-DUPLICATE detection — the third dedup modality
+    * next to MinHash (token-shingle Jaccard) and SimHash (hamming): every
+    * pair of vectors with cosine >= 0.9, found via the bucketed SRP-LSH
+    * scale path ([[Similarity.srpNearDups]]: 8 bands x 8 selective bits,
+    * candidates shuffle ids only, exact-cosine verify) rather than the
+    * O(n^2) cross join.
+    *
+    * The raw embeddings fixture has NO near-parallel pairs (max
+    * off-diagonal cosine 0.513 at sf0.01, 0.601 at sf0.1 — measured), so
+    * the query PLANTS a deterministic perturbed twin of every fifth
+    * vector: id + 10_000_000, elementwise x + 0.01*sin(id + i) (i
+    * 1-based), cast back to float. Planted pairs land at cosine ~0.99837;
+    * nothing else moves past ~0.60 (a twin of a DIFFERENT base inherits
+    * the base pair's cosine). The ~0.4 classification margin means the
+    * float/double and libm-vs-Math.sin discrepancies (~1e-7) cannot flip
+    * any pair, so the DuckDB oracle recomputes the exact all-pairs counts
+    * INDEPENDENTLY (unnest + generate_subscripts dot products in double)
+    * — a real count oracle, not a constant-true gate. Single row:
+    *  - n_pairs: pairs the LSH path reports (oracle: exact all-pairs count)
+    *  - n_planted: reported pairs joining a vector to its own twin
+    *  - lsh_equals_exact: LSH pair SET == in-query brute-force pair SET
+    * Recall is not left to chance: at cos 0.99837 each SRP bit agrees
+    * w.p. 1 - acos(c)/pi ~ 0.982, so the per-pair miss probability is
+    * (1 - 0.982^8)^8 ~ 1e-7 — and planes are deterministic SipHash
+    * Rademacher rows, so recall on the fixed fixtures is exactly 1
+    * (asserted by the equality gate every run, not assumed). */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val threshold = 0.9
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val planted = base.where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + lit(0.01) * sin(col("vec_id") + i + lit(1))).cast("float"))
+          .as("embedding"))
+    val aug = base.unionByName(planted)
+    val found = Similarity.srpNearDups(aug, "vec_id", "embedding",
+      b = 64, chunks = 8, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    // brute-force twin for the equality gate ONLY (quadratic by
+    // construction; the operator is the srpNearDups line above) — the
+    // augmented fixture is small, broadcast nested-loop is fine here
+    val e = aug.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val exact = e.as("a").join(broadcast(e.as("b")), col("a.id") < col("b.id"))
+      .where(Similarity.cosineCols(col("a.emb"), col("b.emb")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    exact.withColumn("ex", lit(1))
+      .join(found.withColumn("ap", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("ap")).cast("long").as("n_pairs"),
+        count(when(col("ap").isNotNull &&
+          col("id_b") - col("id_a") === lit(10000000L), lit(1))).cast("long").as("n_planted"),
+        (count(when(col("ex").isNull || col("ap").isNull, lit(1))) === 0).as("lsh_equals_exact"))
+  }
+
   /** IVF-Flat sanity: full-probe IVF search must return exactly the brute-
     * force top-10 (the index is lossless when every cluster is probed); a
     * 4/16-probe search must stay on probed clusters and return k rows; and

@@ -73,6 +73,9 @@ object SparkEntry {
     // similarity search
     "q_embedding_topk" -> (PipelineQueries.embeddingTopK _),
     "q_srp_ann_recall" -> (PipelineQueries.srpAnnRecall _),
+    // embedding-cosine near-dup dedup (planted perturbed twins; DuckDB
+    // recomputes the exact all-pairs counts independently)
+    "q_embedding_neardups" -> (PipelineQueries.embeddingNearDups _),
     "q_ivf_topk_matches" -> (PipelineQueries.ivfTopkMatches _),
     // multimodal pipeline (real PNG/WAV/frame decode, batched)
     "q_multimodal_features" -> (PipelineQueries.multimodalFeatures _),
@@ -292,6 +295,31 @@ object SparkEntry {
           "(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e])) * " +
           "sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in qe]))) AS cos " +
           "FROM c, q ORDER BY cos DESC, vec_id ASC LIMIT 10) t"),
+      // embedding-cosine near-dup: DuckDB rebuilds the SAME augmented
+      // table (perturbed twin of every fifth vector) and counts exact
+      // all-pairs cosine >= 0.9 from unnest + generate_subscripts dot
+      // products in double. Planted pairs sit at ~0.99837, the densest
+      // background pair at <= 0.601 (measured at sf0.01/sf0.1) — the
+      // ~0.4 margin means cross-engine float noise (~1e-7, incl.
+      // libm-vs-Math.sin on the perturbation) cannot flip any pair.
+      "q_embedding_neardups" ->
+        ("WITH ex0 AS (SELECT CAST(vec_id AS BIGINT) AS vid, " +
+          "CAST(unnest(embedding) AS DOUBLE) AS x, " +
+          "generate_subscripts(embedding, 1) AS i FROM embeddings), " +
+          "plx AS (SELECT vid + 10000000 AS pvid, " +
+          "CAST(CAST(x + 0.01 * sin(vid + i) AS FLOAT) AS DOUBLE) AS px, i " +
+          "FROM ex0 WHERE vid % 5 = 0), " +
+          "allx AS (SELECT vid, x, i FROM ex0 " +
+          "UNION ALL SELECT pvid AS vid, px AS x, i FROM plx), " +
+          "norms AS (SELECT vid, sqrt(sum(x * x)) AS nrm FROM allx GROUP BY vid), " +
+          "dots AS (SELECT a.vid AS va, b.vid AS vb, sum(a.x * b.x) AS d " +
+          "FROM allx a JOIN allx b ON a.i = b.i AND a.vid < b.vid GROUP BY 1, 2), " +
+          "pairs AS (SELECT va, vb FROM dots, norms na, norms nb " +
+          "WHERE dots.va = na.vid AND dots.vb = nb.vid " +
+          "AND na.nrm > 0 AND nb.nrm > 0 AND d / (na.nrm * nb.nrm) >= 0.9) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "CAST(count(*) FILTER (vb - va = 10000000) AS BIGINT) AS n_planted, " +
+          "true AS lsh_equals_exact FROM pairs"),
       // the multimodal pipeline decodes REAL PNG/WAV/frame-container
       // payloads whose decoded features are closed-form in media_id
       // (Multimodal.{width,height,gray,frames}Of); the oracle re-derives

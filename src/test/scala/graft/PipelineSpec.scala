@@ -192,6 +192,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SRP recall ${approx.size}/${exact.size} below 0.9 in the near-dup regime")
   }
 
+  test("embedding near-dup query: planted twins exactly, LSH set == exact set") {
+    // the production query plants a perturbed twin of every fifth vector
+    // (100 of 500 at sf0.01); planted pairs land at cos ~0.99837 against a
+    // <= 0.513 background, so the expected result is pinned exactly —
+    // n_pairs == n_planted == 100 and the LSH pair set equals the
+    // brute-force set (recall 1 on the deterministic fixture)
+    val row = PipelineQueries.embeddingNearDups(spark, "/root/testdata/sf0.01").head()
+    assert(row.getLong(row.fieldIndex("n_pairs")) === 100L)
+    assert(row.getLong(row.fieldIndex("n_planted")) === 100L)
+    assert(row.getBoolean(row.fieldIndex("lsh_equals_exact")))
+  }
+
   test("brute-force top-k matches a local exact computation") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val rows = emb.collect().map(r =>
