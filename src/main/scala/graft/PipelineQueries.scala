@@ -256,6 +256,54 @@ object PipelineQueries {
   private[graft] def samplingFramePlan(spark: SparkSession, dir: String): DataFrame =
     samplingFrameOn(spark, slimSamplingFlags(spark, dir).persist())
 
+  /** Winnowing fingerprint survey — per-source fingerprint mass plus
+    * PARTIAL-overlap pairs (docs sharing >= 2 winnowed rolling-hash
+    * fingerprints, attributed to the smaller doc's source). The pair
+    * step is the canonical inverted-index join: explode (doc, fp),
+    * self-join on the fingerprint value (uniform 31-bit keys -> even
+    * partitions; fixture max doc-frequency per fp is 6, and a
+    * production run would cap df before the join), group pairs, count.
+    * The DuckDB oracle recomputes the ENTIRE pipeline — char-fold word
+    * symbols, polynomial gram hashes, window minima with rightmost
+    * tie-break, the overlap join — independently in exact BIGINT
+    * arithmetic (the P = 2^31 - 1 modulus keeps both engines inside
+    * Long range), so every value column is genuinely cross-checked. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    // doc_id as LONG: the docs() helper casts it to string, and the pair
+    // orientation below (da < db) must be numeric to match the oracle —
+    // lexicographic '134' < '87' would silently flip pair attribution
+    val base = docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val fp = TextPipeline.withWinnowFingerprints(base)
+      .select(col("doc_id"), col("source"), col("fps")).persist()
+    try {
+      val ex = fp.select(col("doc_id"), col("source"), explode(col("fps")).as("fp"))
+      val docStats = fp.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("fps")).cast("long")).as("total_fps"))
+      val dfp = ex.groupBy(col("source")).agg(countDistinct(col("fp")).as("distinct_fps"))
+      // fully-distinct column names on both sides, not dataset aliases: a
+      // self-join of the same lineage can silently resolve a shared name
+      // (or a df("col") reference) to either side
+      val exA = ex.select(col("doc_id").as("da"), col("source").as("sa"), col("fp").as("fpa"))
+      val exB = ex.select(col("doc_id").as("db"), col("fp").as("fpb"))
+      val pairs = exA
+        .join(exB, col("fpa") === col("fpb") && col("da") < col("db"))
+        .groupBy(col("sa"), col("da"), col("db"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 2)
+        .groupBy(col("sa")).agg(count(lit(1)).as("n_overlap_pairs"))
+        .withColumnRenamed("sa", "source")
+      val result = docStats.join(dfp, Seq("source"))
+        .join(pairs, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_fps"), col("distinct_fps"),
+          coalesce(col("n_overlap_pairs"), lit(0L)).as("n_overlap_pairs"))
+        .orderBy(col("source"))
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally fp.unpersist()
+  }
+
   /** Exact per-doc token count under the BPE-ish regex tokenizer (the
     * second tokenization mode next to whitespace `q_token_count_exact`). */
   def tokenCountRegex(spark: SparkSession, dir: String): DataFrame =

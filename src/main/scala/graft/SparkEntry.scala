@@ -70,6 +70,9 @@ object SparkEntry {
     "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
     "q_lang_id" -> (PipelineQueries.langIdCounts _),
     "q_token_count_regex" -> (PipelineQueries.tokenCountRegex _),
+    // winnowing rolling-hash fingerprints (MOSS): partial-overlap
+    // detection; DuckDB recomputes the whole pipeline in exact BIGINT
+    "q_winnow_fingerprints" -> (PipelineQueries.winnowFingerprints _),
     // similarity search
     "q_embedding_topk" -> (PipelineQueries.embeddingTopK _),
     "q_srp_ann_recall" -> (PipelineQueries.srpAnnRecall _),
@@ -241,6 +244,39 @@ object SparkEntry {
         ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
           "CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok_regex " +
           "FROM documents ORDER BY doc_id"),
+      // winnowing: DuckDB recomputes the WHOLE pipeline independently —
+      // charwise (acc*31 + codepoint) % P word symbols, polynomial k=4
+      // gram hashes with a mod after every product (P = 2^31-1 keeps all
+      // intermediates in BIGINT), w=5 window minima with rightmost
+      // tie-break, then the same inverted-index overlap join. Exact
+      // integer arithmetic end to end; no float tolerance anywhere.
+      "q_winnow_fingerprints" ->
+        ("WITH w0 AS (SELECT doc_id, source, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "syms AS (SELECT doc_id, source, [list_reduce(" +
+          "[CAST(0 AS BIGINT)] || [CAST(unicode(w[j]) AS BIGINT) for j in range(1, len(w)+1)], " +
+          "(a,b) -> (a*31+b) % 2147483647) for w in ws] AS sy FROM w0), " +
+          "grams AS (SELECT doc_id, source, CASE WHEN len(sy) < 4 THEN CAST([] AS BIGINT[]) " +
+          "ELSE [((sy[i]*1049561761)%2147483647 + (sy[i+1]*1426104154)%2147483647 + " +
+          "(sy[i+2]*1000003)%2147483647 + sy[i+3]) % 2147483647 " +
+          "for i in range(1, len(sy)-2)] END AS g FROM syms), " +
+          "winnow AS (SELECT doc_id, source, CASE WHEN len(g) = 0 THEN CAST([] AS BIGINT[]) " +
+          "ELSE list_distinct([g[p] for p in list_distinct(" +
+          "[s + len(g[s:s+4]) - list_position(list_reverse(g[s:s+4]), list_min(g[s:s+4])) " +
+          "for s in range(1, greatest(1, len(g)-4) + 1)])]) END AS fps FROM grams), " +
+          "ex AS (SELECT doc_id, source, unnest(fps) AS fp FROM winnow), " +
+          "docstats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(len(fps)) AS BIGINT) AS total_fps FROM winnow GROUP BY source), " +
+          "dfp AS (SELECT source, CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps " +
+          "FROM ex GROUP BY source), " +
+          "prs AS (SELECT a.source AS source, a.doc_id AS da, b.doc_id AS db " +
+          "FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2, 3 HAVING count(*) >= 2), " +
+          "ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_overlap_pairs FROM prs GROUP BY source) " +
+          "SELECT d.source, d.n_docs, d.total_fps, dfp.distinct_fps, " +
+          "coalesce(ps.n_overlap_pairs, CAST(0 AS BIGINT)) AS n_overlap_pairs " +
+          "FROM docstats d JOIN dfp ON d.source = dfp.source " +
+          "LEFT JOIN ps ON d.source = ps.source ORDER BY d.source"),
       "q_fingerprint_dedup" ->
         "SELECT source, count(DISTINCT text) AS n_uniq_fp FROM documents GROUP BY source ORDER BY source",
       "q_exact_dup_pairs" ->

@@ -56,6 +56,8 @@ object PlanCheck {
     // so its per-round shape is documented in TextPipeline scaladoc)
     show("sampleWeighted", graft.SketchQueries.sampleWeighted(spark, dir))
     show("embeddingNearDups", graft.PipelineQueries.embeddingNearDups(spark, dir))
+    show("winnowFps", graft.operators.TextPipeline.withWinnowFingerprints(
+      spark.read.parquet(s"$dir/documents.parquet")))
     show("samplingFrame", graft.PipelineQueries.samplingFramePlan(spark, dir))
     spark.stop()
   }

@@ -204,6 +204,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getBoolean(row.fieldIndex("lsh_equals_exact")))
   }
 
+  test("winnowing: shared-run guarantee, empty/dup edge cases, density") {
+    import spark.implicits._
+    // k=4, w=5: any shared run of >= w+k-1 = 8 words must yield at least
+    // one shared fingerprint (the MOSS guarantee)
+    val run = "one two three four five six seven eight" // 8 shared words
+    val docsDf = Seq(
+      (1L, s"aa bb cc dd $run ee ff gg hh"),
+      (2L, s"xx yy zz ww $run qq rr ss tt"),
+      (3L, "tiny doc"), // < k words -> no grams -> empty fps
+      (4L, s"aa bb cc dd $run ee ff gg hh") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val fps = TextPipeline.withWinnowFingerprints(docsDf)
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "docs sharing an 8-word run must share a winnowed fingerprint")
+    assert(fps(3L).isEmpty, "doc with < k words must have no fingerprints")
+    assert(fps(1L) === fps(4L), "identical text must fingerprint identically")
+    // density: a 17-word doc has 14 grams, 10 windows -> selected count in
+    // [ceil(14/5), 10] (at least one per w-run, at most one per window)
+    assert(fps(1L).nonEmpty && fps(1L).size <= 10)
+  }
+
+  test("winnow fingerprint query: pinned sf0.01 values") {
+    // DuckDB recomputes the identical pipeline; these values were pinned
+    // from the cross-checked run (and the full oracle runs per round)
+    val rows = PipelineQueries.winnowFingerprints(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val src0 = rows("src0")
+    assert(src0.getLong(src0.fieldIndex("n_docs")) === 25L)
+    assert(src0.getLong(src0.fieldIndex("total_fps")) === 445L)
+    assert(src0.getLong(src0.fieldIndex("distinct_fps")) === 443L)
+    assert(src0.getLong(src0.fieldIndex("n_overlap_pairs")) === 1L)
+    val totalPairs = rows.values.map(r => r.getLong(r.fieldIndex("n_overlap_pairs"))).sum
+    assert(totalPairs === 26L, "global partial-overlap pair count at sf0.01")
+  }
+
   test("brute-force top-k matches a local exact computation") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val rows = emb.collect().map(r =>
