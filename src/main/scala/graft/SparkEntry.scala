@@ -37,6 +37,9 @@ object SparkEntry {
     "q_hll_distinct_tokens_bound" -> (SketchQueries.hllDistinctTokensBound _),
     "q_hll_distinct_docs_bound" -> (SketchQueries.hllDistinctDocsBound _),
     "q_hll_event_users_bound" -> (SketchQueries.hllEventUsersBound _),
+    // hierarchical rollup: daily partial sketches merged per type, byte-
+    // identical to the direct build (the materialized-sketch-table algebra)
+    "q_sketch_rollup" -> (SketchQueries.sketchRollup _),
     "q_cms_heavyhitter_bound" -> (SketchQueries.cmsHeavyHitterBound _),
     "q_cms_topk" -> ((s: SparkSession, d: String) => SketchQueries.cmsTopK(s, d)),
     // Misra-Gries heavy hitters for vocab >> width (guarantee invariants)
@@ -134,6 +137,16 @@ object SparkEntry {
           "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')"),
       "q_hll_event_users_bound" ->
         "SELECT event_type, true AS within_bound FROM events GROUP BY event_type ORDER BY event_type",
+      // rollup: DuckDB recomputes n_days and the exact distinct-user count
+      // from the raw table; the byte-identity and bound booleans are
+      // computed in-Spark over the actual sketch bytes (merge-of-partials
+      // vs direct build) and must come back constant-true
+      "q_sketch_rollup" ->
+        ("SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
+          "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users, " +
+          "true AS hll_merge_eq_direct, true AS kmv_merge_eq_direct, " +
+          "true AS est_within_bound " +
+          "FROM events GROUP BY event_type ORDER BY event_type"),
       "q_bloom_fpr_bound" -> boundOracle,
       "q_cms_topk" ->
         ("SELECT source, CAST(rn AS BIGINT) AS rank, CAST(c AS BIGINT) AS est FROM (" +

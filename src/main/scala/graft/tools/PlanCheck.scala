@@ -55,6 +55,7 @@ object PlanCheck {
     // accounting frame (the dedup-clusters query materializes internally,
     // so its per-round shape is documented in TextPipeline scaladoc)
     show("sampleWeighted", graft.SketchQueries.sampleWeighted(spark, dir))
+    show("sketchRollup", graft.SketchQueries.sketchRollup(spark, dir))
     show("embeddingNearDups", graft.PipelineQueries.embeddingNearDups(spark, dir))
     show("winnowFps", graft.operators.TextPipeline.withWinnowFingerprints(
       spark.read.parquet(s"$dir/documents.parquet")))

@@ -479,6 +479,20 @@ class SparkAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"merged t-digest median ${row.getDouble(1)} at rank ${rankOf(row.getDouble(1))}")
   }
 
+  test("sketch rollup query: daily-partial merge byte-identical to direct build, bounds hold") {
+    val rows = SketchQueries.sketchRollup(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length === 5, "five event types")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_days")) >= 1L)
+      assert(r.getBoolean(r.fieldIndex("hll_merge_eq_direct")),
+        s"${r.getString(0)}: HLL daily-merge must be byte-identical to direct build")
+      assert(r.getBoolean(r.fieldIndex("kmv_merge_eq_direct")),
+        s"${r.getString(0)}: KMV daily-merge must be byte-identical to direct build")
+      assert(r.getBoolean(r.fieldIndex("est_within_bound")))
+    }
+  }
+
   test("tokens fixture: deterministic across builds (token-array equality invariant)") {
     val dir = "/root/testdata/sf0.001"
     val a = Tokens.table(spark, dir).orderBy("doc_id").collect()
