@@ -269,34 +269,29 @@ object PipelineQueries {
     * arithmetic (the P = 2^31 - 1 modulus keeps both engines inside
     * Long range), so every value column is genuinely cross-checked. */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    // doc_id as LONG: the docs() helper casts it to string, and the pair
-    // orientation below (da < db) must be numeric to match the oracle —
-    // lexicographic '134' < '87' would silently flip pair attribution
-    val base = docs(spark, dir)
-      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    // read parquet directly: doc_id stays a native LONG, so the pair
+    // orientation (da < db) is numeric like the oracle's — the shared
+    // docs() reader casts it to string, where lexicographic '134' < '87'
+    // would silently flip pair attribution
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
     val fp = TextPipeline.withWinnowFingerprints(base)
       .select(col("doc_id"), col("source"), col("fps")).persist()
     try {
-      val ex = fp.select(col("doc_id"), col("source"), explode(col("fps")).as("fp"))
+      val ex = fp.select(col("source"), explode(col("fps")).as("fp"))
       val docStats = fp.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(size(col("fps")).cast("long")).as("total_fps"))
       val dfp = ex.groupBy(col("source")).agg(countDistinct(col("fp")).as("distinct_fps"))
-      // fully-distinct column names on both sides, not dataset aliases: a
-      // self-join of the same lineage can silently resolve a shared name
-      // (or a df("col") reference) to either side
-      val exA = ex.select(col("doc_id").as("da"), col("source").as("sa"), col("fp").as("fpa"))
-      val exB = ex.select(col("doc_id").as("db"), col("fp").as("fpb"))
-      val pairs = exA
-        .join(exB, col("fpa") === col("fpb") && col("da") < col("db"))
-        .groupBy(col("sa"), col("da"), col("db"))
-        .agg(count(lit(1)).as("shared"))
-        .where(col("shared") >= 2)
+      val pairs = TextPipeline.winnowOverlapPairs(fp, "doc_id", "source")
         .groupBy(col("sa")).agg(count(lit(1)).as("n_overlap_pairs"))
         .withColumnRenamed("sa", "source")
-      val result = docStats.join(dfp, Seq("source"))
+      // LEFT joins: a source whose docs ALL fingerprint empty (every doc
+      // under k words) must still report its n_docs row
+      val result = docStats.join(dfp, Seq("source"), "left")
         .join(pairs, Seq("source"), "left")
-        .select(col("source"), col("n_docs"), col("total_fps"), col("distinct_fps"),
+        .select(col("source"), col("n_docs"), col("total_fps"),
+          coalesce(col("distinct_fps"), lit(0L)).as("distinct_fps"),
           coalesce(col("n_overlap_pairs"), lit(0L)).as("n_overlap_pairs"))
         .orderBy(col("source"))
       val rows = result.collect()

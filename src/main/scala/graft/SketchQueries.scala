@@ -575,7 +575,9 @@ object SketchQueries {
     val hllMergeUdaf = udaf(new graft.jobs.HllBytesMergeAgg, binaryEnc)
     // level 0: the daily sketch table (what a production job would persist
     // per Iceberg snapshot); level 1: merge partials per type — one small
-    // shuffle of sketch bytes, never raw rows
+    // shuffle of sketch bytes, never raw rows. `ts` is TIMESTAMP_NTZ, so
+    // to_date takes the wall-clock date with no session-timezone
+    // dependence — it matches the oracle's CAST(ts AS DATE) in any session
     val daily = events
       .withColumn("day", to_date(col("ts")))
       .groupBy(col("event_type"), col("day"))

@@ -286,9 +286,10 @@ object SparkEntry {
           "FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
           "GROUP BY 1, 2, 3 HAVING count(*) >= 2), " +
           "ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_overlap_pairs FROM prs GROUP BY source) " +
-          "SELECT d.source, d.n_docs, d.total_fps, dfp.distinct_fps, " +
+          "SELECT d.source, d.n_docs, d.total_fps, " +
+          "coalesce(dfp.distinct_fps, CAST(0 AS BIGINT)) AS distinct_fps, " +
           "coalesce(ps.n_overlap_pairs, CAST(0 AS BIGINT)) AS n_overlap_pairs " +
-          "FROM docstats d JOIN dfp ON d.source = dfp.source " +
+          "FROM docstats d LEFT JOIN dfp ON d.source = dfp.source " +
           "LEFT JOIN ps ON d.source = ps.source ORDER BY d.source"),
       "q_fingerprint_dedup" ->
         "SELECT source, count(DISTINCT text) AS n_uniq_fp FROM documents GROUP BY source ORDER BY source",

@@ -70,7 +70,11 @@ object TextPipeline {
     * array_distinct) — a pure map-side projection, no UDF encoder
     * boundary, no shuffle; at 100 TB this runs inside the scan stage.
     * Word symbol = charwise (acc*31 + codepoint) mod P fold; gram hash =
-    * sum_j sym_{i+j} * B^(k-1-j) mod P with a mod after every product. */
+    * sum_j sym_{i+j} * B^(k-1-j) mod P with a mod after every product.
+    * The char fold reads code points via split("")+ascii, which agrees
+    * with SQL engines' unicode() per character for ASCII/BMP text (the
+    * fixture is pure ASCII — supplementary-plane text would fold per
+    * UTF-16 code unit here but per code point in SQL). */
   def withWinnowFingerprints(docs: DataFrame, textCol: String = "text",
       k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowing needs k >= 1 and w >= 1, got k=$k w=$w")
@@ -108,6 +112,30 @@ object TextPipeline {
       transform(array(syms), sy =>
         element_at(transform(array(gramsOf(sy)), g => fpsOf(g)), 1)), 1)
     docs.withColumn("fps", coalesce(fps, array().cast("array<bigint>")))
+  }
+
+  /** Partial-overlap candidate pairs over a winnowed-fingerprint frame
+    * (columns: an id, a group/source, `fps: array<bigint>`): the standard
+    * inverted-index join — explode (id, fp), self-join on the fingerprint
+    * value (uniform 31-bit keys partition evenly; cap document frequency
+    * upstream on hot corpora), group pairs, keep those sharing >= minShared
+    * fingerprints. Pair orientation is idA < idB (numeric — callers must
+    * pass a numeric id) and `sa` is the smaller doc's group. Shared by the
+    * production query and the WinnowProbe cross-engine diff tool so the
+    * semantics cannot diverge. */
+  def winnowOverlapPairs(fp: DataFrame, idCol: String, groupCol: String,
+      minShared: Int = 2): DataFrame = {
+    val ex = fp.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      explode(col("fps")).as("fp"))
+    // fully-distinct column names on both sides, not dataset aliases: a
+    // self-join of the same lineage can silently resolve a shared name
+    // (or a df("col") reference) to either side
+    val exA = ex.select(col("id").as("da"), col("grp").as("sa"), col("fp").as("fpa"))
+    val exB = ex.select(col("id").as("db"), col("fp").as("fpb"))
+    exA.join(exB, col("fpa") === col("fpb") && col("da") < col("db"))
+      .groupBy(col("sa"), col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
   }
 
   // ----------------------------------------------------------- MinHash

@@ -17,17 +17,15 @@ object WinnowProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
     val fp = graft.operators.TextPipeline.withWinnowFingerprints(docs)
-      .select(col("doc_id"), col("source"), col("fps"))
-    fp.select(col("doc_id"), array_sort(col("fps")).as("fps"))
-      .coalesce(1).write.mode("overwrite").parquet(out)
-    val ex = fp.select(col("doc_id"), col("source"), explode(col("fps")).as("fp"))
-    val exA = ex.select(col("doc_id").as("da"), col("source").as("sa"), col("fp").as("fpa"))
-    val exB = ex.select(col("doc_id").as("db"), col("fp").as("fpb"))
-    exA.join(exB, col("fpa") === col("fpb") && col("da") < col("db"))
-      .groupBy(col("sa"), col("da"), col("db"))
-      .agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= 2)
-      .coalesce(1).write.mode("overwrite").parquet(out + "_pairs")
+      .select(col("doc_id"), col("source"), col("fps")).persist()
+    try {
+      fp.select(col("doc_id"), array_sort(col("fps")).as("fps"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      // the SAME pair operator the production query runs — shared helper,
+      // so the probe can never validate stale semantics
+      graft.operators.TextPipeline.winnowOverlapPairs(fp, "doc_id", "source")
+        .coalesce(1).write.mode("overwrite").parquet(out + "_pairs")
+    } finally fp.unpersist()
     spark.stop()
   }
 }

@@ -222,9 +222,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "docs sharing an 8-word run must share a winnowed fingerprint")
     assert(fps(3L).isEmpty, "doc with < k words must have no fingerprints")
     assert(fps(1L) === fps(4L), "identical text must fingerprint identically")
-    // density: a 17-word doc has 14 grams, 10 windows -> selected count in
-    // [ceil(14/5), 10] (at least one per w-run, at most one per window)
-    assert(fps(1L).nonEmpty && fps(1L).size <= 10)
+    // density: doc 1 has 16 words (4 + 8 + 4) -> 13 grams -> 9 windows;
+    // winnowing selects at least one and at most one per window
+    assert(fps(1L).nonEmpty && fps(1L).size <= 9)
   }
 
   test("winnow fingerprint query: pinned sf0.01 values") {
