@@ -275,7 +275,7 @@ object Bench {
     // near-dup rate at SPARK_GRAFT_LSH_DOCS docs so the candidate-volume
     // behavior of the banded join is actually measured (round-2 VERDICT #7).
     val lshDocs = sys.env.getOrElse("SPARK_GRAFT_LSH_DOCS", "1000000").toLong
-    val (lshSec, lshVerified, lshCandidates, ccSec, ccClusters) = {
+    val (lshSec, lshVerified, lshCandidates, ccSec, ccClusters, winnowSec, winnowFps) = {
       val s = session(cpus)
       val path = s"/tmp/graft_bench_lsh_$lshDocs.parquet"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
@@ -313,8 +313,27 @@ object Bench {
         System.err.println(s"[bench] WARNING cluster resolution: $clusters clusters from " +
           s"$verified pairs (planted pairs are disjoint; an extra pair merged clusters)")
       System.err.println(f"[bench] lsh: $lshDocs docs, $verified verified pairs, $cands candidates, $sec%.3f s; cc: $clusters clusters in $ccsec%.3f s")
+      // winnowing fingerprint throughput on the same stress corpus: the
+      // rolling-hash pipeline is one map-side Project (interpreted HOFs —
+      // no codegen for lambda expressions), so this measures the per-doc
+      // kernel at scale. sum(size(fps)) forces full evaluation; the total
+      // is deterministic, so a drift across laps would flag nondeterminism.
+      val winnowLaps = (1 to 2).map { _ =>
+        time {
+          graft.operators.TextPipeline.withWinnowFingerprints(docs)
+            .agg(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.size(
+                org.apache.spark.sql.functions.col("fps"))).cast("long"))
+            .head().getLong(0)
+        }
+      }
+      require(winnowLaps.map(_._1).distinct.size == 1,
+        s"winnow fingerprint total drifted across laps: ${winnowLaps.map(_._1)}")
+      val winnowFps = winnowLaps.head._1
+      val winnowSec = winnowLaps.map(_._2).min
+      System.err.println(f"[bench] winnow: $lshDocs docs, $winnowFps fingerprints, best $winnowSec%.3f s")
       stopSession(s)
-      (sec, verified, cands, ccsec, clusters)
+      (sec, verified, cands, ccsec, clusters, winnowSec, winnowFps)
     }
 
     // ---- phase 3d: KMV distinct-sketch build throughput ----
@@ -384,6 +403,7 @@ object Bench {
         f""""lsh_docs":$lshDocs,"lsh_sec":$lshSec%.3f,"lsh_docs_per_sec":${lshDocs / lshSec}%.0f,""" +
         s""""lsh_candidate_pairs":$lshCandidates,"lsh_verified_pairs":$lshVerified,""" +
         f""""cc_sec":$ccSec%.3f,"cc_clusters":$ccClusters,""" +
+        f""""winnow_sec":$winnowSec%.3f,"winnow_docs_per_sec":${lshDocs / winnowSec}%.0f,"winnow_fingerprints":$winnowFps,""" +
         f""""kmv_sec":$kmvSec%.3f,"kmv_tokens_per_sec":${totalTokens / kmvSec}%.0f,"kmv_secs":${jsonArr(kmvSecs)}%s,""" +
         f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}"""
     val full = headline.dropRight(1) + s""","queries":$qJson}"""

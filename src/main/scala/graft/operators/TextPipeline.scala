@@ -75,13 +75,12 @@ object TextPipeline {
     * with SQL engines' unicode() per character for ASCII/BMP text (the
     * fixture is pure ASCII — supplementary-plane text would fold per
     * UTF-16 code unit here but per code point in SQL). */
-  def withWinnowFingerprints(docs: DataFrame, textCol: String = "text",
+  def withWinnowFingerprintsHof(docs: DataFrame, textCol: String = "text",
       k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowing needs k >= 1 and w >= 1, got k=$k w=$w")
     val P = lit(WinnowP)
     // B^(k-1-j) mod P for j = 0..k-1, exact in BigInt then narrowed
-    val pows: Seq[Long] =
-      (0 until k).map(j => BigInt(WinnowB).modPow(BigInt(k - 1 - j), BigInt(WinnowP)).toLong)
+    val pows: Seq[Long] = winnowPows(k).toSeq
     val words = filter(split(col(textCol), " "), x => x =!= lit(""))
     val syms = transform(words, wrd =>
       aggregate(filter(split(wrd, ""), c => c =!= lit("")), lit(0L),
@@ -113,6 +112,83 @@ object TextPipeline {
         element_at(transform(array(gramsOf(sy)), g => fpsOf(g)), 1)), 1)
     docs.withColumn("fps", coalesce(fps, array().cast("array<bigint>")))
   }
+
+  /** Winnowing via the imperative [[winnowKernel]] behind a Scala UDF —
+    * value-identical to [[withWinnowFingerprintsHof]] per document
+    * (asserted on the fixture by PipelineSpec). This is the DEFAULT scale
+    * path: the winnowing kernel dominates the UDF encoder boundary by far
+    * (the HOF pipeline never codegens — Catalyst evaluates lambda
+    * expressions interpreted — so this is the SrpProbe rule again:
+    * nativize/UDF-ize where the kernel, not the encoder copy, is the
+    * cost; measured numbers in BASELINE.md). */
+  def withWinnowFingerprints(docs: DataFrame, textCol: String = "text",
+      k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k >= 1 and w >= 1, got k=$k w=$w")
+    val pows = winnowPows(k)
+    val f = udf { (text: String) => winnowKernel(text, k, w, pows) }
+    docs.withColumn("fps", f(col(textCol)))
+  }
+
+  /** Imperative winnowing kernel — the same algorithm as the expression
+    * pipeline in [[withWinnowFingerprintsHof]], value-identical per doc
+    * (asserted by PipelineSpec on the fixture): charwise (acc*31 + code
+    * unit) mod P word symbols, polynomial k-gram hashes with a mod after
+    * every product, rightmost window minima, first-occurrence dedup of
+    * positions then values. One allocation-light pass per document. */
+  private[operators] def winnowKernel(text: String, k: Int, w: Int,
+      pows: Array[Long]): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val words = text.split(' ')
+    val sy = new scala.collection.mutable.ArrayBuffer[Long](words.length)
+    var wi = 0
+    while (wi < words.length) {
+      val word = words(wi)
+      if (word.nonEmpty) {
+        var acc = 0L
+        var ci = 0
+        while (ci < word.length) {
+          acc = (acc * 31L + word.charAt(ci).toInt) % WinnowP; ci += 1
+        }
+        sy += acc
+      }
+      wi += 1
+    }
+    val n = sy.length
+    if (n < k) return Array.emptyLongArray
+    val g = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < g.length) {
+      var s = 0L
+      var j = 0
+      while (j < k) { s += (sy(i + j) * pows(j)) % WinnowP; j += 1 }
+      g(i) = s % WinnowP
+      i += 1
+    }
+    val nw = math.max(1, g.length - w + 1)
+    val selPos = new java.util.LinkedHashSet[Integer]()
+    var st = 0
+    while (st < nw) {
+      val end = math.min(st + w, g.length)
+      var minV = Long.MaxValue
+      var minP = st
+      var p = st
+      while (p < end) { if (g(p) <= minV) { minV = g(p); minP = p }; p += 1 }
+      selPos.add(minP)
+      st += 1
+    }
+    val vals = new java.util.LinkedHashSet[java.lang.Long]()
+    val it = selPos.iterator()
+    while (it.hasNext) vals.add(g(it.next().intValue()))
+    val out = new Array[Long](vals.size)
+    val vit = vals.iterator()
+    var o = 0
+    while (vit.hasNext) { out(o) = vit.next().longValue(); o += 1 }
+    out
+  }
+
+  private def winnowPows(k: Int): Array[Long] =
+    (0 until k).map(j =>
+      BigInt(WinnowB).modPow(BigInt(k - 1 - j), BigInt(WinnowP)).toLong).toArray
 
   /** Partial-overlap candidate pairs over a winnowed-fingerprint frame
     * (columns: an id, a group/source, `fps: array<bigint>`): the standard

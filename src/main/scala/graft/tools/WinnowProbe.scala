@@ -7,7 +7,43 @@ import org.apache.spark.sql.functions._
   * set) for cross-engine diffing against the DuckDB oracle recomputation.
   * Usage: runMain graft.tools.WinnowProbe <sfDir> <outParquet> */
 object WinnowProbe {
+
+  /** Head-to-head kernel measurement (the SrpProbe pattern): HOF
+    * expression pipeline vs imperative-kernel UDF on the deterministic
+    * LSH stress corpus. Usage: runMain graft.tools.WinnowProbe bench
+    * <nDocs> [cpus]. Prints per-lap seconds and the fingerprint totals
+    * (which must be equal — value-identity riding the timing). */
+  private def benchMode(nDocs: Long, cpus: Int): Unit = {
+    val spark = SparkSession.builder()
+      .appName("winnow-probe-bench").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val path = s"/tmp/graft_winnow_probe_$nDocs.parquet"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      graft.Bench.lshStressCorpus(spark, nDocs, cpus * 4)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    def lap(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val total = df.agg(sum(size(col("fps"))).cast("long")).head().getLong(0)
+      (total, (System.nanoTime() - t0) / 1e9)
+    }
+    (1 to 3).foreach { i =>
+      val (tU, sU) = lap(graft.operators.TextPipeline.withWinnowFingerprints(docs))
+      val (tH, sH) = lap(graft.operators.TextPipeline.withWinnowFingerprintsHof(docs))
+      println(f"[winnow-probe] lap $i: udf $sU%.3f s, hof $sH%.3f s, totals udf=$tU hof=$tH ${if (tU == tH) "EQUAL" else "MISMATCH"}")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bench")) {
+      benchMode(args(1).toLong, if (args.length > 2) args(2).toInt else 8)
+      return
+    }
     val Array(sfDir, out) = args
     val spark = SparkSession.builder()
       .appName("winnow-probe").master("local[8]")

@@ -227,6 +227,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps(1L).nonEmpty && fps(1L).size <= 9)
   }
 
+  test("winnowing: UDF kernel value-identical to the HOF expression pipeline, per doc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val u = TextPipeline.withWinnowFingerprints(docs)
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = TextPipeline.withWinnowFingerprintsHof(docs)
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(u.keySet === h.keySet)
+    u.foreach { case (id, fps) =>
+      assert(fps === h(id), s"fingerprints differ for doc $id")
+    }
+  }
+
   test("winnow fingerprint query: pinned sf0.01 values") {
     // DuckDB recomputes the identical pipeline; these values were pinned
     // from the cross-checked run (and the full oracle runs per round)
