@@ -743,6 +743,49 @@ object SketchQueries {
     mgGuaranteeGate(spark, sk, exact, capacity)
   }
 
+  /** Train/eval n-gram decontamination under the driver gate
+    * ([[graft.operators.Decontamination]]): 4-gram token sequences of the
+    * held-out source `src0` Bloom-prefilter the training sources' grams, a
+    * broadcast left-semi join confirms exactly (FP-immune), and the per
+    * train-source report (n_docs, contaminated docs, distinct doc-gram
+    * hits) is integer-exact — DuckDB recomputes it from the raw text
+    * (word 4-grams; word→id injectivity makes the counts equal). */
+  def ngramContamination(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontamination.decontaminate(
+      Tokens.table(spark, dir), evalSource = "src0", n = 4, bloomCfg)
+
+  /** BIGRAM heavy hitters over the token streams — n-gram statistics, the
+    * other direction from [[ngramContamination]]'s membership: each
+    * adjacent token pair packs into one long ((a << 32) | b, exact — ids
+    * are positive ints), counted per source both exactly and through the
+    * Misra-Gries summary. Emits per source the exact bigram totals
+    * (position count, distinct count, top count — all invariant under the
+    * injective word→id map, so DuckDB recomputes them from raw text) plus
+    * the MG guarantee gate boolean. At 100 TB the summary branch is the
+    * same row-count-independent monoid shuffle as [[heavyHitterMgBound]];
+    * the exact branch exists for the oracle. */
+  def bigramHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 64
+    val t = Tokens.table(spark, dir)
+    val pairs = zip_with(
+      slice(col("tokens"), lit(1), size(col("tokens")) - 1),
+      slice(col("tokens"), lit(2), size(col("tokens")) - 1),
+      (a, b) => a.cast("long") * lit(4294967296L) + b.cast("long"))
+    val big = t.where(size(col("tokens")) >= 2)
+      .select(col("source"), explode(pairs).as("key"))
+    val hhUdaf = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
+    val sk = big.groupBy(col("source")).agg(hhUdaf(col("key")).as("sk"))
+    val exact = big.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))
+    val stats = exact.groupBy(col("source")).agg(
+      sum(col("cnt")).as("n_bigrams"),
+      count(lit(1)).as("distinct_bigrams"),
+      max(col("cnt")).as("top_bigram_count"))
+    stats.join(mgGuaranteeGate(spark, sk, exact, capacity), Seq("source"))
+      .select(col("source"), col("n_bigrams"), col("distinct_bigrams"),
+        col("top_bigram_count"), col("within_bound"))
+      .orderBy(col("source"))
+  }
+
   /** Exact per-doc token count through the tokens table (text analysis:
     * token counting; trivially SQL-checkable). */
   def tokenCountExact(spark: SparkSession, dir: String): DataFrame =

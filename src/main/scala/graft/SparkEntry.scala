@@ -46,6 +46,10 @@ object SparkEntry {
     "q_heavyhitter_mg_bound" -> (SketchQueries.heavyHitterMgBound _),
     // weighted MG over pre-aggregated (key, weight) rows, N = total weight
     "q_heavyhitter_weighted_bound" -> (SketchQueries.heavyHitterWeightedBound _),
+    // train/eval n-gram decontamination: Bloom prefilter + exact confirm
+    "q_ngram_contamination" -> (SketchQueries.ngramContamination _),
+    // bigram statistics: exact totals + the MG summary guarantee gate
+    "q_bigram_heavyhitters" -> (SketchQueries.bigramHeavyHitters _),
     // KMV bottom-k: distinct-intersection / Jaccard / merged-union bounds
     "q_kmv_intersect_bound" -> (SketchQueries.kmvIntersectBound _),
     "q_bloom_intersect_exact" -> (SketchQueries.bloomIntersectExact _),
@@ -163,6 +167,39 @@ object SparkEntry {
       "q_hll_distinct_tokens_bound" -> boundOracle,
       "q_heavyhitter_mg_bound" -> boundOracle,
       "q_heavyhitter_weighted_bound" -> boundOracle,
+      // decontamination: DuckDB recomputes the report from raw text with
+      // word 4-grams — the word→id map is injective, so word-gram equality
+      // is token-gram equality and every count matches exactly
+      "q_ngram_contamination" ->
+        ("WITH toks AS (SELECT doc_id, source, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "g AS (SELECT doc_id, source, unnest(list_distinct(" +
+          "CASE WHEN len(ws) >= 4 THEN [array_to_string(ws[i:i+3], '|') " +
+          "for i in range(1, len(ws)-2)] ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM toks), " +
+          "ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'), " +
+          "hit AS (SELECT g.source, g.doc_id FROM g JOIN ev USING (gram) " +
+          "WHERE g.source <> 'src0'), " +
+          "base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs " +
+          "FROM documents WHERE source <> 'src0' GROUP BY source), " +
+          "hs AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contam_docs, " +
+          "CAST(count(*) AS BIGINT) AS n_hits FROM hit GROUP BY source) " +
+          "SELECT base.source, base.n_docs, " +
+          "coalesce(hs.n_contam_docs, CAST(0 AS BIGINT)) AS n_contam_docs, " +
+          "coalesce(hs.n_hits, CAST(0 AS BIGINT)) AS n_hits " +
+          "FROM base LEFT JOIN hs ON base.source = hs.source ORDER BY base.source"),
+      // bigram stats: exact totals are invariant under the injective
+      // word→id map; the MG gate boolean is exact, hence constant-true
+      "q_bigram_heavyhitters" ->
+        ("WITH toks AS (SELECT source, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "b AS (SELECT source, unnest(CASE WHEN len(ws) >= 2 THEN " +
+          "[ws[i] || '|' || ws[i+1] for i in range(1, len(ws))] " +
+          "ELSE CAST([] AS VARCHAR[]) END) AS key FROM toks), " +
+          "e AS (SELECT source, key, count(*) AS cnt FROM b GROUP BY source, key) " +
+          "SELECT source, CAST(sum(cnt) AS BIGINT) AS n_bigrams, " +
+          "CAST(count(*) AS BIGINT) AS distinct_bigrams, " +
+          "CAST(max(cnt) AS BIGINT) AS top_bigram_count, true AS within_bound " +
+          "FROM e GROUP BY source ORDER BY source"),
       // session enumeration is a pure function of doc_id (sess =
       // (doc_id // 20) % 5, five per source; every session's booleans are
       // exact — see replaySessionKmv)

@@ -60,6 +60,16 @@ object PlanCheck {
     show("winnowFps", graft.operators.TextPipeline.withWinnowFingerprints(
       spark.read.parquet(s"$dir/documents.parquet")))
     show("samplingFrame", graft.PipelineQueries.samplingFramePlan(spark, dir))
+    // round-5 additions: decontamination (Bloom prefilter + broadcast
+    // semi-join; the public query materializes internally, so capture the
+    // lazy split) and the bigram MG gate
+    locally {
+      val (decon, evalGrams) = graft.operators.Decontamination.decontaminateLazy(
+        graft.sources.Tokens.table(spark, dir), "src0", 4, graft.SketchQueries.bloomCfg)
+      show("ngramContamination (lazy inner plan)", decon)
+      evalGrams.unpersist()
+    }
+    show("bigramHeavyHitters", graft.SketchQueries.bigramHeavyHitters(spark, dir))
     spark.stop()
   }
 }

@@ -538,4 +538,84 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(preds.getOrElse("en", 0L) > 0L)
     assert(preds.values.sum === 500L)
   }
+
+  /** Tiny tokens table with PLANTED contamination: eval source "ev" holds
+    * two docs; train doc t1 copies a 4-token run from ev's first doc
+    * (1 shared distinct gram), t2 copies a 5-token run (2 shared grams),
+    * t3 shares nothing, t4 is shorter than n. */
+  private def plantedTokens(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      graft.sources.Tokens.TokenRow("e1", Array(1, 2, 3, 4, 5), 5, "ev"),
+      graft.sources.Tokens.TokenRow("e2", Array(9, 9, 9, 9), 4, "ev"),
+      graft.sources.Tokens.TokenRow("t1", Array(7, 1, 2, 3, 4, 8), 6, "trA"),
+      graft.sources.Tokens.TokenRow("t2", Array(1, 2, 3, 4, 5, 6), 6, "trA"),
+      graft.sources.Tokens.TokenRow("t3", Array(5, 4, 3, 2, 1), 5, "trB"),
+      graft.sources.Tokens.TokenRow("t4", Array(1, 2, 3), 3, "trB")
+    ).toDF()
+  }
+
+  test("decontamination: planted overlaps found exactly, clean docs untouched") {
+    val rep = graft.operators.Decontamination
+      .decontaminate(plantedTokens(), "ev", 4, SketchQueries.bloomCfg)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // trA: t1 hits gram 1|2|3|4; t2 hits 1|2|3|4 and 2|3|4|5 -> 2 docs, 3 hits
+    assert(rep("trA") === ((2L, 2L, 3L)))
+    // trB: t3 reversed shares nothing; t4 too short -> 2 docs, 0 contaminated
+    assert(rep("trB") === ((2L, 0L, 0L)))
+    assert(!rep.contains("ev"))
+  }
+
+  test("decontamination: Bloom prefilter is pruning-only (equals the exact twin)") {
+    val t = graft.sources.Tokens.table(spark, "/root/testdata/sf0.001")
+    val a = graft.operators.Decontamination
+      .decontaminate(t, "src0", 4, SketchQueries.bloomCfg)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.operators.Decontamination
+      .decontaminateExact(t, "src0", 4).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("decontamination: empty eval source yields zero hits, full doc counts") {
+    val rep = graft.operators.Decontamination
+      .decontaminate(plantedTokens(), "no_such_source", 4, SketchQueries.bloomCfg)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("ev") === ((2L, 0L, 0L)))
+    assert(rep("trA") === ((2L, 0L, 0L)))
+    assert(rep("trB") === ((2L, 0L, 0L)))
+  }
+
+  test("decontamination: per-doc gram dedup is map-side (repeated grams count once)") {
+    import spark.implicits._
+    val t = Seq(
+      graft.sources.Tokens.TokenRow("e1", Array(1, 1, 1, 1, 1, 1), 6, "ev"),
+      // three positions of gram 1|1|1|1 -> ONE distinct (doc, gram) hit
+      graft.sources.Tokens.TokenRow("t1", Array(1, 1, 1, 1, 1, 1), 6, "tr")
+    ).toDF()
+    val rep = graft.operators.Decontamination
+      .decontaminate(t, "ev", 4, SketchQueries.bloomCfg)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("tr") === ((1L, 1L, 1L)))
+  }
+
+  test("bigram packing: (a << 32) | b is exact and injective for int token ids") {
+    import spark.implicits._
+    val big = Int.MaxValue
+    val t = Seq(
+      graft.sources.Tokens.TokenRow("d1", Array(big, big, 1, big), 4, "s")
+    ).toDF()
+    val keys = t.select(explode(zip_with(
+        slice(col("tokens"), lit(1), size(col("tokens")) - 1),
+        slice(col("tokens"), lit(2), size(col("tokens")) - 1),
+        (a, b) => a.cast("long") * lit(4294967296L) + b.cast("long"))).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys === Seq(
+      big.toLong * 4294967296L + big.toLong,
+      big.toLong * 4294967296L + 1L,
+      1L * 4294967296L + big.toLong))
+    assert(keys.forall(_ > 0L)) // no overflow into the sign bit
+  }
 }
