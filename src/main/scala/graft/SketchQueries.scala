@@ -592,7 +592,14 @@ object SketchQueries {
       hllLongUdaf(col("user_id")).as("hll_d"),
       kmvLongUdaf(col("user_id")).as("kmv_d"),
       countDistinct(col("user_id")).as("n_exact_users"))
-    merged.join(direct, Seq("event_type"))
+    // sparse-encoding gate (round 5): the small per-(type, day) partials
+    // must take the v2 sparse layout — strictly below the dense size —
+    // while still merging byte-identically (checked below via hll_m ===
+    // hll_d: both sides re-encode through the same adaptive choke point)
+    val denseLen = 32 + Hll.numRegisters(hllP)
+    val sparse = daily.groupBy(col("event_type"))
+      .agg(min(length(col("hll_sk")) < denseLen).as("partials_sparse_encoded"))
+    merged.join(direct, Seq("event_type")).join(sparse, Seq("event_type"))
       .select(
         col("event_type"),
         col("n_days"),
@@ -601,7 +608,8 @@ object SketchQueries {
         (col("kmv_m") === col("kmv_d")).as("kmv_merge_eq_direct"),
         (abs(SketchReaders.hllEstimate(col("hll_m")) - col("n_exact_users")) <=
           greatest(col("n_exact_users") * lit(4 * Hll.stdError(hllP)), lit(3.0)))
-          .as("est_within_bound"))
+          .as("est_within_bound"),
+        col("partials_sparse_encoded"))
       .orderBy(col("event_type"))
   }
 

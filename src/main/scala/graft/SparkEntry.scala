@@ -149,7 +149,7 @@ object SparkEntry {
         ("SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
           "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users, " +
           "true AS hll_merge_eq_direct, true AS kmv_merge_eq_direct, " +
-          "true AS est_within_bound " +
+          "true AS est_within_bound, true AS partials_sparse_encoded " +
           "FROM events GROUP BY event_type ORDER BY event_type"),
       "q_bloom_fpr_bound" -> boundOracle,
       "q_cms_topk" ->

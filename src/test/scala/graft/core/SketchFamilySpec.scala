@@ -74,6 +74,79 @@ class SketchFamilySpec extends AnyFunSuite {
     assert(p2 === p && tag === 1L && regs2.sameElements(regs))
   }
 
+  test("HLL: sparse serialization — small sketches shrink, roundtrip register-exact") {
+    val p = 12 // m = 4096; sparse while 5 * nonzero < 4096
+    for (n <- Seq(0, 1, 50, 500)) {
+      val regs = Hll.empty(p)
+      (1 to n).foreach(i => Hll.addHash(regs, p, SipHash.hashInt(k0, k1, i)))
+      val bytes = Hll.toBytes(regs, p, 1L, 9L)
+      val c = Hll.nonzeroCount(regs)
+      assert(bytes.length === 32 + 5 * c, s"n=$n should serialize sparse")
+      assert(bytes.length < 32 + (1 << p))
+      val (p2, regs2, tag, kh) = Hll.fromBytesFull(bytes)
+      assert(p2 === p && tag === 1L && kh === 9L && regs2.sameElements(regs))
+      // re-encode determinism: decode -> encode is byte-identical
+      assert(Hll.toBytes(regs2, p2, tag, kh).sameElements(bytes))
+    }
+  }
+
+  test("HLL: dense/sparse boundary — the encoding flips exactly at 5*c < m") {
+    val p = 4 // m = 16: sparse needs 5c < 16 -> c <= 3
+    def withNonzero(c: Int): Array[Byte] = {
+      val regs = Hll.empty(p)
+      (0 until c).foreach(i => regs(i) = 1)
+      regs
+    }
+    assert(Hll.toBytes(withNonzero(3), p, 1L, 0L).length === 32 + 15) // sparse
+    assert(Hll.toBytes(withNonzero(4), p, 1L, 0L).length === 32 + 16) // dense
+    val (_, back, _, _) = Hll.fromBytesFull(Hll.toBytes(withNonzero(3), p, 1L, 0L))
+    assert(back.sameElements(withNonzero(3)))
+  }
+
+  test("HLL: estimate and merge identical through the sparse wire") {
+    val p = 12
+    val a = Hll.empty(p); val b = Hll.empty(p); val direct = Hll.empty(p)
+    (1 to 300).foreach { i =>
+      val h = SipHash.hashInt(k0, k1, i)
+      Hll.addHash(direct, p, h)
+      Hll.addHash(if (i % 2 == 0) a else b, p, h)
+    }
+    val (_, a2, _, _) = Hll.fromBytesFull(Hll.toBytes(a, p, 1L, 0L))
+    val (_, b2, _, _) = Hll.fromBytesFull(Hll.toBytes(b, p, 1L, 0L))
+    val merged = Hll.merge(a2, b2)
+    assert(merged.sameElements(direct))
+    assert(Hll.estimate(merged) === Hll.estimate(direct))
+    // and the merged result re-serializes exactly as the direct build does
+    assert(Hll.toBytes(merged, p, 1L, 0L).sameElements(Hll.toBytes(direct, p, 1L, 0L)))
+  }
+
+  test("HLL: corrupt sparse payloads are rejected loudly") {
+    val p = 12
+    val regs = Hll.empty(p)
+    (1 to 100).foreach(i => Hll.addHash(regs, p, SipHash.hashInt(k0, k1, i)))
+    val good = Hll.toBytes(regs, p, 1L, 0L)
+    assert(good(7) === 2.toByte) // sparse version marker in the BE header
+    // truncated entries
+    intercept[IllegalArgumentException](Hll.fromBytesFull(good.dropRight(3)))
+    // non-increasing index: duplicate the first entry over the second
+    val dupIdx = good.clone()
+    System.arraycopy(dupIdx, 32, dupIdx, 37, 5)
+    intercept[IllegalArgumentException](Hll.fromBytesFull(dupIdx))
+    // rho out of range (0 is impossible in a stored entry)
+    val badRho = good.clone()
+    badRho(36) = 0
+    intercept[IllegalArgumentException](Hll.fromBytesFull(badRho))
+    // index out of range: set the last entry's index to m
+    val badIdx = good.clone()
+    val off = badIdx.length - 5
+    badIdx(off) = 0; badIdx(off + 1) = 0; badIdx(off + 2) = 0x10; badIdx(off + 3) = 0
+    intercept[IllegalArgumentException](Hll.fromBytesFull(badIdx))
+    // unknown version
+    val badVer = good.clone()
+    badVer(7) = 3
+    intercept[IllegalArgumentException](Hll.fromBytesFull(badVer))
+  }
+
   // ----------------------------------------------------------- count-min
 
   val cms = CmsConfig(k0, k1, depth = 5, log2Width = 11) // eps ~ 0.0013
