@@ -358,6 +358,43 @@ object Bench {
     }
     val kmvSec = kmvSecs.min
 
+    // ---- phase 3e: n-gram decontamination throughput ----
+    // The flagship Bloom-in-its-natural-role op: a ~0.1% relabeled eval
+    // slice, 4-gram kernel UDF (measured ~40x the HOF twin, DeconProbe),
+    // Bloom prefilter + broadcast exact confirm. The corpus is random, so
+    // true hits ~ 0 — the realistic regime where the prefilter carries all
+    // the selectivity; the report sums are deterministic and lap-compared.
+    val deconDocs = sys.env.getOrElse("SPARK_GRAFT_DECON_DOCS", "2000000").toLong
+    val (deconSec, deconTrainDocs, deconHits) = {
+      val s = session(cpus)
+      val path = s"/tmp/graft_bench_decon_$deconDocs.parquet"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        Tokens.synthetic(s, deconDocs, avgTokens = 64, vocabSize = 50000,
+          numSources = 16, partitions = cpus * 4)
+          .write.mode("overwrite").parquet(path)
+      }
+      graft.plans.GraftFunctions.register(s)
+      val relabeled = s.read.parquet(path).withColumn("source",
+        when(graft.plans.GraftFunctions.sipHash64(col("doc_id")) % 1024 === 0,
+          lit("evalset")).otherwise(col("source")))
+      val cfg17 = BloomConfig(SketchQueries.K0, SketchQueries.K1, k = 3, log2l = 17)
+      def run(): (Long, Long) = {
+        val r = graft.operators.Decontamination
+          .decontaminate(relabeled, "evalset", 4, cfg17)
+          .agg(sum(col("n_docs")), sum(col("n_hits"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      run() // warm
+      val laps = (1 to 2).map(_ => time(run()))
+      require(laps.map(_._1).distinct.size == 1,
+        s"decontamination report drifted across laps: ${laps.map(_._1)}")
+      val (docsHits, sec) = (laps.head._1, laps.map(_._2).min)
+      System.err.println(f"[bench] decon: $deconDocs docs, train=${docsHits._1}, " +
+        f"hits=${docsHits._2}, best $sec%.3f s")
+      stopSession(s)
+      (sec, docsHits._1, docsHits._2)
+    }
+
     // ---- phase 4: empirical FPR vs analytic bound on the bench bloom ----
     val (bCfg, words, _) = BlockedBloom.fromBytes(SketchQueries.K0, SketchQueries.K1, bloomBytes)
     val antiN = 200000
@@ -404,6 +441,7 @@ object Bench {
         s""""lsh_candidate_pairs":$lshCandidates,"lsh_verified_pairs":$lshVerified,""" +
         f""""cc_sec":$ccSec%.3f,"cc_clusters":$ccClusters,""" +
         f""""winnow_sec":$winnowSec%.3f,"winnow_docs_per_sec":${lshDocs / winnowSec}%.0f,"winnow_fingerprints":$winnowFps,""" +
+        f""""decon_docs":$deconDocs,"decon_sec":$deconSec%.3f,"decon_docs_per_sec":${deconTrainDocs / deconSec}%.0f,"decon_hits":$deconHits,""" +
         f""""kmv_sec":$kmvSec%.3f,"kmv_tokens_per_sec":${totalTokens / kmvSec}%.0f,"kmv_secs":${jsonArr(kmvSecs)}%s,""" +
         f""""bloom_fpr_measured":$fprMeasured%.6f,"bloom_fpr_analytic":$fprBound%.6f}"""
     val full = headline.dropRight(1) + s""","queries":$qJson}"""

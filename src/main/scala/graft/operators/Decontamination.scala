@@ -42,6 +42,19 @@ object Decontamination {
     * boundary). */
   def gramRows(tokens: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n-gram decontamination needs n >= 1, got n=$n")
+    val f = udf { (ts: Array[Int]) => gramStrings(ts, n) }
+    tokens
+      .where(size(col("tokens")) >= n)
+      .select(col("doc_id"), col("source"), explode(f(col("tokens"))).as("gram"))
+  }
+
+  /** Pure-expression twin of [[gramRows]], value-identical per doc
+    * (asserted by PipelineSpec). Kept as the oracle-parity reference; the
+    * UDF kernel is the default on a measured win (see BASELINE.md, the
+    * winnowing rule again: `transform` lambdas never codegen, so the
+    * per-window slice+concat runs interpreted). */
+  private[graft] def gramRowsHof(tokens: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram decontamination needs n >= 1, got n=$n")
     val asStr = transform(col("tokens"), t => t.cast("string"))
     val grams = array_distinct(transform(
       sequence(lit(0), size(col("tokens")) - lit(n)),
@@ -49,6 +62,33 @@ object Decontamination {
     tokens
       .where(size(col("tokens")) >= n)
       .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+  }
+
+  /** Imperative gram kernel: the n-token windows of one document rendered
+    * as '|'-joined id strings, first-occurrence-deduped — the same values
+    * in the same order as the HOF pipeline's
+    * `array_distinct(transform(...))`. One pass, one StringBuilder. */
+  private[operators] def gramStrings(tokens: Array[Int], n: Int): Array[String] = {
+    if (tokens == null || tokens.length < n) return Array.empty[String]
+    val set = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(8 * n)
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append('|')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
   }
 
   /** Per train-source contamination report against `evalSource`:

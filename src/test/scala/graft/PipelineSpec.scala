@@ -601,6 +601,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep("tr") === ((1L, 1L, 1L)))
   }
 
+  test("decontamination: UDF gram kernel value-identical to the HOF twin, per doc") {
+    val t = graft.sources.Tokens.table(spark, "/root/testdata/sf0.01")
+    def collectGrams(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("doc_id")).agg(collect_list(col("gram")).as("gs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).sorted).toMap
+    val u = collectGrams(graft.operators.Decontamination.gramRows(t, 4))
+    val h = collectGrams(graft.operators.Decontamination.gramRowsHof(t, 4))
+    assert(u.keySet === h.keySet)
+    u.foreach { case (id, gs) => assert(gs === h(id), s"grams differ for doc $id") }
+  }
+
   test("bigram packing: (a << 32) | b is exact and injective for int token ids") {
     import spark.implicits._
     val big = Int.MaxValue
