@@ -99,6 +99,11 @@ object SparkEntry {
     "q_streaming_append_latedrop" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingSketch.replayBloomWindowsAppend(
         s, dir, SketchQueries.bloomCfg, SketchQueries.hllP)),
+    // streaming decontamination twin: static eval Bloom + gram set score
+    // the doc stream map-side; windowed counts exact under the oracle
+    "q_streaming_decon" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingSketch.replayDecontamination(
+        s, dir, SketchQueries.bloomCfg)),
     // windowed Misra-Gries trending tokens: exact MG guarantees per
     // (event-time window, source) under the oracle
     "q_streaming_trending_tokens" -> ((s: SparkSession, dir: String) =>
@@ -187,6 +192,27 @@ object SparkEntry {
           "coalesce(hs.n_contam_docs, CAST(0 AS BIGINT)) AS n_contam_docs, " +
           "coalesce(hs.n_hits, CAST(0 AS BIGINT)) AS n_hits " +
           "FROM base LEFT JOIN hs ON base.source = hs.source ORDER BY base.source"),
+      // streaming decontamination: window = (doc_id % 600) / 60 by the
+      // replay's event-time assignment; counts recomputed exactly from raw
+      // text (word 4-grams, injective word→id map), zero cells included
+      // for every (window, source) that has at least one train doc
+      "q_streaming_decon" ->
+        ("WITH toks AS (SELECT doc_id, (doc_id % 600) // 60 AS win, source, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "g AS (SELECT doc_id, win, source, unnest(list_distinct(" +
+          "CASE WHEN len(ws) >= 4 THEN [array_to_string(ws[i:i+3], '|') " +
+          "for i in range(1, len(ws)-2)] ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM toks), " +
+          "ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'), " +
+          "perdoc AS (SELECT win, source, doc_id, count(*) AS hits FROM g " +
+          "JOIN ev USING (gram) WHERE source <> 'src0' GROUP BY win, source, doc_id), " +
+          "base AS (SELECT (doc_id % 600) // 60 AS win, source, doc_id " +
+          "FROM documents WHERE source <> 'src0') " +
+          "SELECT CAST(base.win AS BIGINT) AS win, base.source, " +
+          "CAST(count(CASE WHEN perdoc.hits > 0 THEN 1 END) AS BIGINT) AS n_contam_docs, " +
+          "CAST(coalesce(sum(perdoc.hits), 0) AS BIGINT) AS n_hits " +
+          "FROM base LEFT JOIN perdoc ON base.win = perdoc.win " +
+          "AND base.source = perdoc.source AND base.doc_id = perdoc.doc_id " +
+          "GROUP BY base.win, base.source ORDER BY base.win, base.source"),
       // bigram stats: exact totals are invariant under the injective
       // word→id map; the MG gate boolean is exact, hence constant-true
       "q_bigram_heavyhitters" ->

@@ -68,7 +68,7 @@ object Decontamination {
     * as '|'-joined id strings, first-occurrence-deduped — the same values
     * in the same order as the HOF pipeline's
     * `array_distinct(transform(...))`. One pass, one StringBuilder. */
-  private[operators] def gramStrings(tokens: Array[Int], n: Int): Array[String] = {
+  private[graft] def gramStrings(tokens: Array[Int], n: Int): Array[String] = {
     if (tokens == null || tokens.length < n) return Array.empty[String]
     val set = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(8 * n)

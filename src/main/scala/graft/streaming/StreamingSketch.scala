@@ -559,4 +559,103 @@ object StreamingSketch {
       .groupBy(window(col(tsCol), windowDuration), col("source"))
       .agg(bkU(col("token").cast("long")).as("sample"))
   }
+
+  /** Per-row decontamination scorer for the streaming twin: number of the
+    * doc's distinct n-grams present in the eval set. The Bloom is the
+    * short-circuit (almost every gram of an uncontaminated doc stops at
+    * ~k word probes), the exact set decides — same FP-immune semantics as
+    * the batch operator's prefilter + confirm join, fused per row because
+    * a stream ships the (small by construction) eval artifacts to every
+    * executor once instead of joining. A serializable `Function1` class
+    * (not a lambda) so the parsed Bloom is rebuilt lazily per executor,
+    * and array arguments go through Scala's converters. */
+  final class DeconScorer(bloomBytes: Array[Byte], evalGrams: Set[String],
+      k0: Long, k1: Long, n: Int) extends (Array[Int] => Int) with Serializable {
+    @transient private lazy val parsed =
+      graft.core.BlockedBloom.fromBytes(k0, k1, bloomBytes)
+    override def apply(tokens: Array[Int]): Int = {
+      val (cfg, words, _) = parsed
+      val grams = graft.operators.Decontamination.gramStrings(tokens, n)
+      var hits = 0
+      var i = 0
+      while (i < grams.length) {
+        val g = grams(i)
+        if (graft.core.BlockedBloom.containsString(words, cfg, g) && evalGrams(g)) hits += 1
+        i += 1
+      }
+      hits
+    }
+  }
+
+  /** Streaming windowed contamination rollup: per (event-time window,
+    * source), contaminated-doc and distinct-gram-hit counts of the doc
+    * stream against static eval artifacts. Stateless map-side scoring +
+    * one windowed sum — the state store holds two longs per (window,
+    * source), row-count-independent. */
+  def windowedDecon(docs: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDuration: String, scorer: DeconScorer): DataFrame = {
+    val hitsUdf = udf(scorer)
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col("source"), hitsUdf(col("tokens")).as("hits"))
+      .groupBy(window(col(tsCol), windowDuration), col("source"))
+      .agg(sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_contam_docs"),
+        sum(col("hits")).as("n_hits"))
+  }
+
+  /** Driver query (`q_streaming_decon`): the streaming twin of
+    * [[graft.operators.Decontamination.decontaminate]]. Eval artifacts
+    * (gram set + Bloom) are built batch-side from the held-out source;
+    * the TRAIN docs replay through a MemoryStream in three interleaved
+    * chunks (out-of-order event time — sum-monoid merge invariance is the
+    * property under the gate) and every (window, source) cell's counts
+    * are exact, so DuckDB recomputes them all from raw text. */
+  def replayDecontamination(spark: SparkSession, dir: String,
+      bloomCfg: BloomConfig, evalSource: String = "src0", n: Int = 4): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val epoch0 = Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    val t = graft.sources.Tokens.table(spark, dir)
+    // batch-side eval artifacts — exactly what a production stream job
+    // ships to executors (benchmark eval sets are small by construction)
+    val evalGrams = graft.operators.Decontamination
+      .gramRows(t.where(col("source") === evalSource), n)
+      .select(col("gram")).distinct().collect().map(_.getString(0)).toSet
+    val bloomBytes = {
+      val words = new Array[Long](bloomCfg.l)
+      evalGrams.foreach(g => graft.core.BlockedBloom.insertString(words, bloomCfg, g))
+      graft.core.BlockedBloom.toBytes(words, bloomCfg, graft.core.BlockedBloom.TypeTag.String)
+    }
+    val scorer = new DeconScorer(bloomBytes, evalGrams, bloomCfg.k0, bloomCfg.k1, n)
+
+    val rows = collectReplayRows(t.where(col("source") =!= evalSource), epoch0)
+    val stream = MemoryStream[(Timestamp, String, Array[Int])]
+    val streamed = stream.toDF().toDF("ts", "source", "tokens")
+    val windowed = windowedDecon(
+      streamed, "ts", watermarkDelay = "660 seconds", windowDuration = "60 seconds", scorer)
+    val sinkName = "graft_stream_decon"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = windowed.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try {
+        (0 until 3).foreach { chunk =>
+          stream.addData(rows.filter(r => r._3.length % 3 == chunk).toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    spark.table(sinkName).select(
+      ((col("window.start").cast("long") - epoch0) / 60).cast("long").as("win"),
+      col("source"), col("n_contam_docs"), col("n_hits"))
+      .orderBy(col("win"), col("source"))
+  }
 }

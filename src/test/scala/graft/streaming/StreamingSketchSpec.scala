@@ -358,4 +358,42 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
         "late row beyond the watermark must not reach the finalized sketch")
     } finally query.stop()
   }
+
+  test("streaming decontamination equals the batch operator's per-window recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val cfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 10)
+    val out = StreamingSketch.replayDecontamination(spark, dir, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // batch recomputation: per-doc distinct grams joined against the eval
+    // gram set, rolled up per (doc-derived window, source)
+    val t = graft.sources.Tokens.table(spark, dir)
+    val grams = graft.operators.Decontamination.gramRows(t, 4)
+    val ev = grams.where(col("source") === "src0").select(col("gram")).distinct()
+    val perDoc = grams.where(col("source") =!= "src0")
+      .join(ev, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"), col("source")).agg(count(lit(1)).as("hits"))
+    val expected = t.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id", "source"), "left")
+      .select(((col("doc_id").cast("long") % 600) / 60).cast("long").as("win"),
+        col("source"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .groupBy(col("win"), col("source"))
+      .agg(sum(when(col("hits") > 0, 1L).otherwise(0L)).as("cd"), sum(col("hits")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
+  test("DeconScorer: bloom short-circuit never changes the exact hit count") {
+    val cfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 10)
+    val evalGrams = Set("1|2|3|4", "9|9|9|9")
+    val words = new Array[Long](cfg.l)
+    evalGrams.foreach(g => BlockedBloom.insertString(words, cfg, g))
+    val bytes = BlockedBloom.toBytes(words, cfg, BlockedBloom.TypeTag.String)
+    val scorer = new StreamingSketch.DeconScorer(bytes, evalGrams, cfg.k0, cfg.k1, 4)
+    assert(scorer(Array(1, 2, 3, 4, 5)) === 1)    // one planted gram
+    assert(scorer(Array(9, 9, 9, 9, 9, 9)) === 1) // repeated gram counts once
+    assert(scorer(Array(5, 4, 3, 2, 1)) === 0)    // reversed: no hit
+    assert(scorer(Array(1, 2, 3)) === 0)          // shorter than n
+  }
 }
