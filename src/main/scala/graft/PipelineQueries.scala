@@ -475,6 +475,21 @@ object PipelineQueries {
       .toDF("full_probe_exact", "pruned_returns_k", "stored_matches_memory", "partition_pruned")
   }
 
+  /** Sequence packing (`q_seq_packing`): documents -> fixed-token-budget
+    * training sequences, greedy next-fit per deterministic (source,
+    * doc_id/128) shard, capacity 256 tokens. Every output cell is exact —
+    * DuckDB replays the identical recurrence with a recursive CTE — so a
+    * single misplaced document breaks the hash match. Word counts use the
+    * same whitespace tokenization as the token table (injective map makes
+    * the counts equal). */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), w => w =!= "")).as("n_tok"))
+    operators.SequencePacking.packedSequences(d, capacity = 256, shardDocs = 128)
+      .orderBy(col("source"), col("shard"), col("seq_id"))
+  }
+
   /** Multimodal pipeline with REAL decode: synthetic-but-real PNG/WAV/frame
     * payloads -> batched decode (mapPartitions; javax.imageio +
     * javax.sound.sampled) -> per-(source, media_type) stats. The decoded

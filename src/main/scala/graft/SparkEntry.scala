@@ -72,6 +72,8 @@ object SparkEntry {
     // mixture accounting: token mass + quality + dedup survival + the
     // weighted sample of the resulting frame, one pass per source
     "q_sampling_frame" -> (PipelineQueries.samplingFrame _),
+    // docs -> fixed-token-budget training sequences (next-fit per shard)
+    "q_seq_packing" -> (PipelineQueries.seqPacking _),
     "q_simhash_dups" -> (PipelineQueries.simhashDups _),
     // text analysis
     "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
@@ -296,6 +298,22 @@ object SparkEntry {
           "CAST(count(CASE WHEN cluster IS NULL OR cluster = doc_id THEN 1 END) AS BIGINT) AS n_kept, " +
           "true AS deterministic " +
           "FROM j GROUP BY source ORDER BY source"),
+      // sequence packing: DuckDB replays the next-fit recurrence exactly
+      // (one recursion step per document rank within its (source, shard)
+      // group — depth bounded by shardDocs)
+      "q_seq_packing" ->
+        ("WITH RECURSIVE d AS (SELECT source, doc_id // 128 AS shard, doc_id, " +
+          "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok, " +
+          "row_number() OVER (PARTITION BY source, doc_id // 128 ORDER BY doc_id) AS rn FROM documents), " +
+          "pack AS (SELECT source, shard, rn, n_tok, CAST(0 AS BIGINT) AS seq_id, n_tok AS fill " +
+          "FROM d WHERE rn = 1 " +
+          "UNION ALL SELECT nd.source, nd.shard, nd.rn, nd.n_tok, " +
+          "CASE WHEN p.fill + nd.n_tok > 256 THEN p.seq_id + 1 ELSE p.seq_id END, " +
+          "CASE WHEN p.fill + nd.n_tok > 256 THEN nd.n_tok ELSE p.fill + nd.n_tok END " +
+          "FROM pack p JOIN d nd ON nd.source = p.source AND nd.shard = p.shard AND nd.rn = p.rn + 1) " +
+          "SELECT source, CAST(shard AS BIGINT) AS shard, seq_id, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tok " +
+          "FROM pack GROUP BY source, shard, seq_id ORDER BY source, shard, seq_id"),
       // mixture accounting: every count/mass column exact (integer
       // arithmetic, deterministic winners); sample booleans are exact
       // properties of the deterministic ES sample (constant true)

@@ -70,6 +70,7 @@ object PlanCheck {
       evalGrams.unpersist()
     }
     show("bigramHeavyHitters", graft.SketchQueries.bigramHeavyHitters(spark, dir))
+    show("seqPacking", graft.PipelineQueries.seqPacking(spark, dir))
     spark.stop()
   }
 }

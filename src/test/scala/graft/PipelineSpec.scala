@@ -629,4 +629,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       1L * 4294967296L + big.toLong))
     assert(keys.forall(_ > 0L)) // no overflow into the sign bit
   }
+
+  test("sequence packing matches the serial next-fit reference, any input partitioning") {
+    import spark.implicits._
+    import graft.operators.SequencePacking
+    val rnd = new scala.util.Random(7)
+    // sizes include overflow docs (> capacity) and exact-fit boundaries
+    val docs = (0L until 400L).map { id =>
+      val n = rnd.nextInt(12) match {
+        case 0 => 300L + rnd.nextInt(100)              // overflow: alone in a seq
+        case 1 => 256L                                 // exact fit
+        case _ => 10L + rnd.nextInt(90)
+      }
+      (id, s"src${id % 5}", n)
+    }
+    val df = docs.toDF("doc_id", "source", "n_tok")
+    val expected = docs.groupBy { case (id, src, _) => (src, id / 64) }
+      .flatMap { case ((src, shard), group) =>
+        val sorted = group.sortBy(_._1)
+        val seqIds = SequencePacking.packSerial(sorted.map(_._3), 256L)
+        sorted.zip(seqIds).map { case ((id, _, n), seq) => (src, shard, id, n, seq) }
+      }.toSet
+    for (parts <- Seq(1, 3, 13)) {
+      val got = SequencePacking.packDocs(df.repartition(parts), 256L, 64L)
+        .collect().map(p => (p.source, p.shard, p.doc_id, p.n_tok, p.seq_id)).toSet
+      assert(got === expected, s"mismatch at input partitioning $parts")
+    }
+    // capacity respected except single overflowing docs; token mass conserved
+    val rollup = SequencePacking.packedSequences(df, 256L, 64L).collect()
+    assert(rollup.map(_.getLong(4)).sum === docs.map(_._3).sum)
+    rollup.foreach { r =>
+      assert(r.getLong(4) <= 256L || r.getLong(3) == 1L,
+        s"over-capacity sequence with ${r.getLong(3)} docs: $r")
+    }
+  }
+
+  test("sequence packing: overflow doc sits alone and resets the fill") {
+    import graft.operators.SequencePacking
+    // 100 + 100 fit; 999 overflows alone; 100 starts fresh after it
+    assert(SequencePacking.packSerial(Seq(100L, 100L, 999L, 100L, 100L), 256L)
+      === Seq(0L, 0L, 1L, 2L, 2L))
+    // leading overflow occupies seq 0 by itself
+    assert(SequencePacking.packSerial(Seq(999L, 10L), 256L) === Seq(0L, 1L))
+    assert(SequencePacking.packSerial(Seq.empty[Long], 256L) === Seq.empty[Long])
+  }
 }
