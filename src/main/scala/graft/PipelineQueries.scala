@@ -475,6 +475,24 @@ object PipelineQueries {
       .toDF("full_probe_exact", "pruned_returns_k", "stored_matches_memory", "partition_pruned")
   }
 
+  /** Repetition quality signals (`q_repetition_metrics`): Gopher-class
+    * repetition filters — per-source word mass, distinct-word mass, top-word
+    * mass, bigram mass, distinct-bigram mass, and the count of docs the
+    * all-integer `repetitive` gate flags (top word > 1/5 of words, or
+    * repeated bigrams > 1/5 of bigrams). Map-side kernel, one groupBy. */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.withRepetitionMetrics(docs(spark, dir))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_distinct_words")).as("distinct_words"),
+        sum(col("top_word_count")).as("top_word_mass"),
+        sum(col("n_bigrams")).as("bigrams"),
+        sum(col("n_distinct_bigrams")).as("distinct_bigrams"),
+        sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy(col("source"))
+
   /** Sequence packing (`q_seq_packing`): documents -> fixed-token-budget
     * training sequences, greedy next-fit per deterministic (source,
     * doc_id/128) shard, capacity 256 tokens. Every output cell is exact —

@@ -74,6 +74,8 @@ object SparkEntry {
     "q_sampling_frame" -> (PipelineQueries.samplingFrame _),
     // docs -> fixed-token-budget training sequences (next-fit per shard)
     "q_seq_packing" -> (PipelineQueries.seqPacking _),
+    // Gopher-class repetition quality signals (map-side kernel)
+    "q_repetition_metrics" -> (PipelineQueries.repetitionMetrics _),
     "q_simhash_dups" -> (PipelineQueries.simhashDups _),
     // text analysis
     "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
@@ -298,6 +300,30 @@ object SparkEntry {
           "CAST(count(CASE WHEN cluster IS NULL OR cluster = doc_id THEN 1 END) AS BIGINT) AS n_kept, " +
           "true AS deterministic " +
           "FROM j GROUP BY source ORDER BY source"),
+      // repetition quality signals: every cell integer-exact, recomputed
+      // from raw text (word multiplicities via unnest+group, bigram
+      // distincts via the list comprehension; chr(1) joiner matches the
+      // kernel's U+0001 separator)
+      "q_repetition_metrics" ->
+        ("WITH w AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "tops AS (SELECT doc_id, max(c) AS top_word_count FROM (" +
+          "SELECT doc_id, word, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word) GROUP BY doc_id), " +
+          "per AS (SELECT w.doc_id, w.source, " +
+          "CAST(len(ws) AS BIGINT) AS n_words, " +
+          "CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words, " +
+          "CAST(coalesce(tops.top_word_count, 0) AS BIGINT) AS top_word_count, " +
+          "CAST(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS BIGINT) AS n_bigrams, " +
+          "CAST(CASE WHEN len(ws) >= 2 THEN len(list_distinct([ws[i] || chr(1) || ws[i+1] for i in range(1, len(ws))])) ELSE 0 END AS BIGINT) AS n_distinct_bigrams " +
+          "FROM w LEFT JOIN tops ON w.doc_id = tops.doc_id) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_words) AS BIGINT) AS words, " +
+          "CAST(sum(n_distinct_words) AS BIGINT) AS distinct_words, " +
+          "CAST(sum(top_word_count) AS BIGINT) AS top_word_mass, " +
+          "CAST(sum(n_bigrams) AS BIGINT) AS bigrams, " +
+          "CAST(sum(n_distinct_bigrams) AS BIGINT) AS distinct_bigrams, " +
+          "CAST(count(CASE WHEN top_word_count * 5 > n_words " +
+          "OR (n_bigrams - n_distinct_bigrams) * 5 > n_bigrams THEN 1 END) AS BIGINT) AS n_repetitive " +
+          "FROM per GROUP BY source ORDER BY source"),
       // sequence packing: DuckDB replays the next-fit recurrence exactly
       // (one recursion step per document rank within its (source, shard)
       // group — depth bounded by shardDocs)

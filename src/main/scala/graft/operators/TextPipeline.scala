@@ -440,6 +440,61 @@ object TextPipeline {
           col("stopword_count") * 2 <= col("word_count"))
   }
 
+  /** Per-doc repetition statistics (integer-exact): word occurrences,
+    * distinct words, the most-frequent word's count, bigram occurrences,
+    * distinct bigrams. The Gopher-class repetition filters derive from
+    * these (top-word mass, duplicate-n-gram mass). */
+  final case class RepetitionStats(n_words: Long, n_distinct_words: Long,
+      top_word_count: Long, n_bigrams: Long, n_distinct_bigrams: Long)
+
+  /** One-pass repetition kernel: one HashMap walk over the words. An
+    * imperative UDF by the measured text-kernel rule (DeconProbe /
+    * WinnowProbe timed the value-identical HOF pipelines 12-40x slower —
+    * lambda expressions never codegen; the kernel here IS the counting,
+    * the encoder boundary is the small share). */
+  private[graft] def repetitionKernel(text: String): RepetitionStats = {
+    if (text == null || text.isEmpty) return RepetitionStats(0L, 0L, 0L, 0L, 0L)
+    val counts = new java.util.HashMap[String, Long]()
+    val bigrams = new java.util.HashSet[String]()
+    var nWords = 0L
+    var nBigrams = 0L
+    var top = 0L
+    var prev: String = null
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && text.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val w = text.substring(start, i)
+        nWords += 1
+        val c = counts.merge(w, 1L, (a, b) => a + b)
+        if (c > top) top = c
+        if (prev != null) {
+          nBigrams += 1
+          bigrams.add(prev + '\u0001' + w)
+        }
+        prev = w
+      }
+    }
+    RepetitionStats(nWords, counts.size.toLong, top, nBigrams, bigrams.size.toLong)
+  }
+
+  /** Repetition metrics + the boolean filter gate (all-integer comparisons
+    * so the oracle compare is exact): a doc is `repetitive` when its top
+    * word carries more than 1/5 of the word mass, or more than 1/5 of its
+    * bigram occurrences are repeats of an earlier bigram in the doc. */
+  def withRepetitionMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val repUdf = udf(repetitionKernel _)
+    docs
+      .withColumn("rep", repUdf(col(textCol)))
+      .select(docs.columns.map(col) :+ col("rep.*"): _*)
+      .withColumn("repetitive",
+        col("top_word_count") * 5 > col("n_words") ||
+          (col("n_bigrams") - col("n_distinct_bigrams")) * 5 > col("n_bigrams"))
+  }
+
   /** BPE-ish regex tokenizer: alphabetic runs, digit runs, and single
     * punctuation marks become separate tokens (the pre-tokenization pass a
     * byte-pair encoder applies before merges — GPT-2-style contractions

@@ -664,6 +664,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repetition kernel matches a collections recomputation; gate flags planted spam") {
+    import graft.operators.TextPipeline
+    def reference(text: String): (Long, Long, Long, Long, Long) = {
+      val ws = text.split(' ').filter(_.nonEmpty)
+      val bgs = ws.sliding(2).filter(_.length == 2).map(_.mkString("\u0001")).toSeq
+      val top = if (ws.isEmpty) 0L else ws.groupBy(identity).values.map(_.length).max.toLong
+      (ws.length.toLong, ws.distinct.length.toLong, top, bgs.length.toLong, bgs.distinct.length.toLong)
+    }
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val cases = Seq("", " ", "solo", "a a a a a b", "x y x y x y",
+      "  double  spaces  here  ") ++
+      (0 until 50).map(_ => Vector.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    cases.foreach { text =>
+      val k = TextPipeline.repetitionKernel(text)
+      assert((k.n_words, k.n_distinct_words, k.top_word_count, k.n_bigrams, k.n_distinct_bigrams)
+        === reference(text), s"kernel mismatch on '$text'")
+    }
+    assert(TextPipeline.repetitionKernel(null) === TextPipeline.RepetitionStats(0, 0, 0, 0, 0))
+    // the DataFrame gate: spam doc flagged, diverse doc not
+    import spark.implicits._
+    val df = Seq(
+      ("d1", "spam spam spam spam spam something"),            // top word 5/6
+      ("d2", "one two three four five six seven eight"),       // diverse
+      ("d3", "ab cd ab cd ab cd ab cd ab cd"))                  // repeated bigrams
+      .toDF("doc_id", "text")
+    val out = TextPipeline.withRepetitionMetrics(df)
+      .select("doc_id", "repetitive").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out === Map("d1" -> true, "d2" -> false, "d3" -> true))
+  }
+
   test("sequence packing: overflow doc sits alone and resets the fill") {
     import graft.operators.SequencePacking
     // 100 + 100 fit; 999 overflows alone; 100 starts fresh after it
