@@ -40,12 +40,16 @@ object SequencePacking {
     require(shardDocs > 0, s"shardDocs must be positive, got $shardDocs")
     val spark = docs.sparkSession
     import spark.implicits._
-    // non-negative ids: long division == floor, so the shard key is exact
-    val base = docs.select(
-      col("source"),
-      (col("doc_id").cast("long") / lit(shardDocs)).cast("long").as("shard"),
-      col("doc_id").cast("long").as("doc_id"),
-      col("n_tok").cast("long").as("n_tok")).as[PackIn]
+    // integer `div`, NOT `/`: Spark's `/` divides through double, which
+    // loses exactness for ids above 2^53 — a real id space at 100 TB.
+    // Non-negative ids make long division == floor, so the key is exact.
+    val base = docs
+      .withColumn("graft_id", col("doc_id").cast("long"))
+      .select(
+        col("source"),
+        expr(s"graft_id div ${shardDocs}L").as("shard"),
+        col("graft_id").as("doc_id"),
+        col("n_tok").cast("long").as("n_tok")).as[PackIn]
     base
       .repartitionByRange(col("source"), col("shard"))
       .sortWithinPartitions(col("source"), col("shard"), col("doc_id"))

@@ -705,4 +705,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SequencePacking.packSerial(Seq(999L, 10L), 256L) === Seq(0L, 1L))
     assert(SequencePacking.packSerial(Seq.empty[Long], 256L) === Seq.empty[Long])
   }
+
+  test("sequence packing shard key is exact above 2^53 (integer div, not double /)") {
+    import spark.implicits._
+    import graft.operators.SequencePacking
+    // (1<<60) + 127 rounds UP to (1<<60) + 128 in double, flipping the
+    // shard from 2^53 to 2^53 + 1 under `/`; integer div must keep 2^53
+    val id = (1L << 60) + 127L
+    val out = SequencePacking.packDocs(
+      Seq((id, "s", 10L)).toDF("doc_id", "source", "n_tok"), 256L, 128L).collect()
+    assert(out.length === 1)
+    assert(out.head.shard === id / 128L, s"shard ${out.head.shard} != exact ${id / 128L}")
+  }
 }
