@@ -43,13 +43,11 @@ object SequencePacking {
     // integer `div`, NOT `/`: Spark's `/` divides through double, which
     // loses exactness for ids above 2^53 — a real id space at 100 TB.
     // Non-negative ids make long division == floor, so the key is exact.
-    val base = docs
-      .withColumn("graft_id", col("doc_id").cast("long"))
-      .select(
-        col("source"),
-        expr(s"graft_id div ${shardDocs}L").as("shard"),
-        col("graft_id").as("doc_id"),
-        col("n_tok").cast("long").as("n_tok")).as[PackIn]
+    val base = docs.select(
+      col("source"),
+      expr(s"cast(doc_id as bigint) div ${shardDocs}L").as("shard"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("n_tok").cast("long").as("n_tok")).as[PackIn]
     base
       .repartitionByRange(col("source"), col("shard"))
       .sortWithinPartitions(col("source"), col("shard"), col("doc_id"))
