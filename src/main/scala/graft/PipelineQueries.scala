@@ -493,6 +493,18 @@ object PipelineQueries {
         sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"))
       .orderBy(col("source"))
 
+  /** Budgeted mixture selection (`q_mixture_select`): enforce a training
+    * mixture — per source, select docs in doc_id order until half
+    * (num/den = 1/2) of the source's token mass is reached. Pure integer
+    * cross-multiplication, so every output cell is exact and DuckDB
+    * replays the identical prefix scan with a window function. */
+  def mixtureSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_tok"))
+    operators.MixtureSelection.mixtureReport(d, "n_tok", num = 1L, den = 2L)
+  }
+
   /** Sequence packing (`q_seq_packing`): documents -> fixed-token-budget
     * training sequences, greedy next-fit per deterministic (source,
     * doc_id/128) shard, capacity 256 tokens. Every output cell is exact —

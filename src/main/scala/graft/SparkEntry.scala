@@ -76,6 +76,8 @@ object SparkEntry {
     "q_seq_packing" -> (PipelineQueries.seqPacking _),
     // Gopher-class repetition quality signals (map-side kernel)
     "q_repetition_metrics" -> (PipelineQueries.repetitionMetrics _),
+    // budgeted mixture selection: integer prefix scan to a token budget
+    "q_mixture_select" -> (PipelineQueries.mixtureSelect _),
     "q_simhash_dups" -> (PipelineQueries.simhashDups _),
     // text analysis
     "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
@@ -300,6 +302,27 @@ object SparkEntry {
           "CAST(count(CASE WHEN cluster IS NULL OR cluster = doc_id THEN 1 END) AS BIGINT) AS n_kept, " +
           "true AS deterministic " +
           "FROM j GROUP BY source ORDER BY source"),
+      // budgeted mixture selection: DuckDB replays the identical integer
+      // prefix scan (cross-multiplication, no division/float anywhere);
+      // prefix_tight is data-dependent (mixed true/false), so the hash
+      // compare proves the full per-source selection, not a tautology
+      "q_mixture_select" ->
+        ("WITH d AS (SELECT doc_id, source, " +
+          "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok FROM documents), " +
+          "t AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_total FROM d GROUP BY source), " +
+          "c AS (SELECT d.doc_id, d.source, d.n_tok, t.tok_total, " +
+          "CAST(sum(d.n_tok) OVER (PARTITION BY d.source ORDER BY d.doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+          "FROM d JOIN t USING (source)), " +
+          "s AS (SELECT *, cum * 2 <= tok_total * 1 AS selected FROM c) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(count(CASE WHEN selected THEN 1 END) AS BIGINT) AS n_selected, " +
+          "CAST(coalesce(sum(CASE WHEN selected THEN n_tok END), 0) AS BIGINT) AS tok_selected, " +
+          "max(tok_total) AS tok_total, " +
+          "CAST(coalesce(sum(CASE WHEN selected THEN n_tok END), 0) AS BIGINT) * 2 <= max(tok_total) * 1 AS within_budget, " +
+          "coalesce((CAST(coalesce(sum(CASE WHEN selected THEN n_tok END), 0) AS BIGINT) " +
+          "+ min(CASE WHEN NOT selected THEN n_tok END)) * 2 > max(tok_total) * 1, true) AS prefix_tight " +
+          "FROM s GROUP BY source ORDER BY source"),
       // repetition quality signals: every cell integer-exact, recomputed
       // from raw text (word multiplicities via unnest+group, bigram
       // distincts via the list comprehension; chr(1) joiner matches the

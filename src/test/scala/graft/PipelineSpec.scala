@@ -706,6 +706,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SequencePacking.packSerial(Seq.empty[Long], 256L) === Seq.empty[Long])
   }
 
+  test("mixture selection: exact prefix to the budget, integer math, edge fractions") {
+    import spark.implicits._
+    import graft.operators.MixtureSelection
+    // srcA total 100, budget 50: 30(cum30 sel) 25(cum55 no) 20 15 10 -> only first
+    // srcB total 60, budget 30: 30(cum30 sel, ==budget boundary) 20 10
+    val df = Seq(
+      (1L, "srcA", 30L), (2L, "srcA", 25L), (3L, "srcA", 20L), (4L, "srcA", 15L), (5L, "srcA", 10L),
+      (1L, "srcB", 30L), (2L, "srcB", 20L), (3L, "srcB", 10L))
+      .toDF("doc_id", "source", "n_tok")
+    val rep = MixtureSelection.mixtureReport(df, "n_tok", 1L, 2L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6))).toMap
+    // srcA: selected {30}, smallest unselected 10 -> 40 <= 50: NOT tight
+    assert(rep("srcA") === ((5L, 1L, 30L, 100L, true, false)))
+    // srcB: selected {30} (boundary inclusive), smallest unselected 10 -> 40 > 30: tight
+    assert(rep("srcB") === ((3L, 1L, 30L, 60L, true, true)))
+    // num=0 selects nothing (positive doc sizes); num=den selects everything
+    val zero = MixtureSelection.mixtureReport(df, "n_tok", 0L, 2L).collect()
+    assert(zero.forall(r => r.getLong(2) === 0L))
+    val all = MixtureSelection.mixtureReport(df, "n_tok", 2L, 2L).collect()
+    assert(all.forall(r => r.getLong(2) === r.getLong(1) && r.getBoolean(6)))
+    // selection is a contiguous prefix in doc_id order
+    val flags = MixtureSelection.withMixtureSelection(df, "n_tok", 1L, 2L)
+      .select("source", "doc_id", "selected").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getBoolean(2)).toSeq)
+    flags.foreach { case (src, fs) =>
+      assert(!fs.dropWhile(identity).contains(true), s"$src selection is not a prefix: $fs")
+    }
+  }
+
   test("sequence packing shard key is exact above 2^53 (integer div, not double /)") {
     import spark.implicits._
     import graft.operators.SequencePacking
