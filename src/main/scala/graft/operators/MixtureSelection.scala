@@ -17,27 +17,53 @@ import org.apache.spark.sql.DataFrame
   * deterministic weighted-sample order ([[graft.core.BottomK]] ES keys)
   * for probability-proportional selection — the budget scan is the same.
   *
-  * Scale shape: one groupBy for per-source totals (broadcast back — one
-  * row per source), one window over (source, doc_id) — a single range
-  * shuffle at 100 TB, the same co-location the downstream sequence packer
-  * needs, so the two stages share a partitioning. */
+  * Scale shape — a TWO-LEVEL distributed prefix scan, not one window per
+  * source (a naive `Window.partitionBy(source)` serializes an entire
+  * source into one task, which dies at 100 TB where a source is
+  * terabytes): (1) per-(source, shard) subtotals, shard = doc_id /
+  * shardDocs — one partial-agg pass, output one row per shard; (2) the
+  * per-source running OFFSET over those subtotal rows — a window over
+  * summaries (docs/shardDocs rows), ~10^5 smaller than the data; (3) a
+  * LOCAL window per (source, shard) plus the shard's offset — fully
+  * parallel, skew-free by construction (a shard is <= shardDocs docs).
+  * The global cumulative sum is associative, so the result is
+  * value-identical to the single-window formulation (tested). */
 object MixtureSelection {
 
   /** Per-doc selection flags: adds `tok_total` (source token mass), `cum`
     * (running mass through this doc in doc_id order), and `selected`.
-    * `docs` needs doc_id (orderable), source, and a long `tokCol`. */
+    * `docs` needs doc_id (castable to long), source, and a long `tokCol`. */
   def withMixtureSelection(docs: DataFrame, tokCol: String,
-      num: Long, den: Long): DataFrame = {
+      num: Long, den: Long, shardDocs: Long = 1L << 16): DataFrame = {
     require(den > 0 && num >= 0 && num <= den,
       s"budget fraction must satisfy 0 <= num <= den, got $num/$den")
-    val totals = docs.groupBy(col("source"))
-      .agg(sum(col(tokCol)).cast("long").as("tok_total"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    require(shardDocs > 0, s"shardDocs must be positive, got $shardDocs")
+    // integer `div`: exact for ids above 2^53 (same rule as SequencePacking)
+    val sharded = docs.withColumn("graft_shard",
+      expr(s"cast(doc_id as bigint) div ${shardDocs}L"))
+    // (1) one row per (source, shard): subtotal of the shard's token mass
+    val sub = sharded.groupBy(col("source"), col("graft_shard"))
+      .agg(sum(col(tokCol)).cast("long").as("shard_tok"))
+    // (2) prefix offsets over the SUMMARY rows (tiny relative to docs) +
+    // the per-source totals from the same frame — no second scan
+    val offsetsW = Window.partitionBy(col("source")).orderBy(col("graft_shard"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .join(broadcast(totals), Seq("source"))
-      .withColumn("cum", sum(col(tokCol)).over(w).cast("long"))
+    val offsets = sub
+      .withColumn("shard_offset",
+        (sum(col("shard_tok")).over(offsetsW) - col("shard_tok")).cast("long"))
+      .withColumn("tok_total",
+        sum(col("shard_tok")).over(Window.partitionBy(col("source"))).cast("long"))
+      .select(col("source"), col("graft_shard"), col("shard_offset"), col("tok_total"))
+    // (3) local prefix scan per (source, shard) — parallel and bounded
+    val localW = Window.partitionBy(col("source"), col("graft_shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .join(offsets, Seq("source", "graft_shard"))
+      .withColumn("cum",
+        (col("shard_offset") + sum(col(tokCol)).over(localW)).cast("long"))
       .withColumn("selected", col("cum") * den <= col("tok_total") * num)
+      .drop("graft_shard", "shard_offset")
   }
 
   /** Per-source selection report (every cell integer-exact): doc counts,
@@ -48,8 +74,8 @@ object MixtureSelection {
     * can still fit; the column is a data-dependent diagnostic the oracle
     * recomputes exactly. */
   def mixtureReport(docs: DataFrame, tokCol: String,
-      num: Long, den: Long): DataFrame =
-    withMixtureSelection(docs, tokCol, num, den)
+      num: Long, den: Long, shardDocs: Long = 1L << 16): DataFrame =
+    withMixtureSelection(docs, tokCol, num, den, shardDocs)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -736,6 +736,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mixture selection: two-level distributed prefix scan equals one global window") {
+    import spark.implicits._
+    import graft.operators.MixtureSelection
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(21)
+    val df = (0L until 300L).map(id => (id, s"src${id % 4}", 1L + rnd.nextInt(80).toLong))
+      .toDF("doc_id", "source", "n_tok")
+    // naive single-window formulation (the scale-killer shape, kept as oracle)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.groupBy(col("source")).agg(sum(col("n_tok")).cast("long").as("tok_total"))
+    val naive = df.join(tot, Seq("source"))
+      .withColumn("cum", sum(col("n_tok")).over(w).cast("long"))
+      .withColumn("selected", col("cum") * 2L <= col("tok_total") * 1L)
+      .select("source", "doc_id", "cum", "selected").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    for (shardDocs <- Seq(2L, 7L, 1L << 16)) {
+      val got = MixtureSelection.withMixtureSelection(df, "n_tok", 1L, 2L, shardDocs)
+        .select("source", "doc_id", "cum", "selected").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+      assert(got === naive, s"two-level scan diverged at shardDocs=$shardDocs")
+    }
+  }
+
   test("sequence packing shard key is exact above 2^53 (integer div, not double /)") {
     import spark.implicits._
     import graft.operators.SequencePacking
