@@ -71,6 +71,7 @@ object PlanCheck {
     }
     show("bigramHeavyHitters", graft.SketchQueries.bigramHeavyHitters(spark, dir))
     show("seqPacking", graft.PipelineQueries.seqPacking(spark, dir))
+    show("mixtureSelect", graft.PipelineQueries.mixtureSelect(spark, dir))
     spark.stop()
   }
 }
