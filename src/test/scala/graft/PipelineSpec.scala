@@ -706,6 +706,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SequencePacking.packSerial(Seq.empty[Long], 256L) === Seq.empty[Long])
   }
 
+  test("sequence packing: randomized capacities and shard widths match the serial reference") {
+    import spark.implicits._
+    import graft.operators.SequencePacking
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 4) {
+      val capacity = 32L + rnd.nextInt(400)
+      val shardDocs = 1L + rnd.nextInt(90)
+      val nDocs = 150 + rnd.nextInt(200)
+      val docs = (0 until nDocs).map { _ =>
+        // non-contiguous, duplicated-gap ids across sources; sizes straddle
+        // the capacity so overflow and exact-fit paths both fire
+        val id = rnd.nextInt(5000).toLong
+        (id, s"s${id % 3}", 1L + rnd.nextInt(2 * capacity.toInt))
+      }.distinctBy(d => (d._1, d._2))
+      val df = docs.toDF("doc_id", "source", "n_tok").repartition(1 + rnd.nextInt(8))
+      val expected = docs.groupBy { case (id, src, _) => (src, id / shardDocs) }
+        .flatMap { case ((src, shard), group) =>
+          val sorted = group.sortBy(_._1)
+          sorted.zip(SequencePacking.packSerial(sorted.map(_._3), capacity))
+            .map { case ((id, _, n), seq) => (src, shard, id, n, seq) }
+        }.toSet
+      val got = SequencePacking.packDocs(df, capacity, shardDocs)
+        .collect().map(p => (p.source, p.shard, p.doc_id, p.n_tok, p.seq_id)).toSet
+      assert(got === expected,
+        s"trial $trial mismatch (capacity=$capacity shardDocs=$shardDocs nDocs=${docs.size})")
+    }
+  }
+
   test("mixture selection: exact prefix to the budget, integer math, edge fractions") {
     import spark.implicits._
     import graft.operators.MixtureSelection
