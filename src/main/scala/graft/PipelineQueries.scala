@@ -493,6 +493,61 @@ object PipelineQueries {
         sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"))
       .orderBy(col("source"))
 
+  /** Cross-source gram-overlap matrix (`q_source_overlap`): the curator's
+    * contamination report — for every source PAIR, the exact 4-gram set
+    * intersection and union, plus the KMV-estimated Jaccard gated against
+    * the exact value under the published error model (Beyer et al. 2007,
+    * the `q_kmv_intersect_bound` margin). Exact side: per-source distinct
+    * gram sets are small (per-doc-deduped grams of a source), so the
+    * self-join is summary-sized; at 100 TB the EXACT columns are the test
+    * gate only — the production report is the KMV side, whose sketches
+    * are k-entry summaries merged map-side. */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Decontamination, SketchAggs}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val k = SketchQueries.kmvK
+    val grams = Decontamination
+      .gramRows(graft.sources.Tokens.table(spark, dir), 4)
+      .select(col("source"), col("gram")).distinct().persist()
+    try {
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter_exact"))
+      val kmvU = udaf(new SketchAggs.KmvStringAgg(
+        graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1, k), ExpressionEncoder[String]())
+      val sk = grams.groupBy(col("source")).agg(kmvU(col("gram")).as("sk"))
+      val pairs = sizes.as("sa")
+        .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+        .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"),
+          col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+        .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
+      val withEst = pairs
+        .join(broadcast(sk.select(col("source").as("src_a"), col("sk").as("sk_a"))), Seq("src_a"))
+        .join(broadcast(sk.select(col("source").as("src_b"), col("sk").as("sk_b"))), Seq("src_b"))
+        .withColumn("est_j",
+          graft.plans.SketchReaders.kmvJaccard(col("sk_a"), col("sk_b")))
+        .withColumn("exact_j", col("inter_exact").cast("double") / col("union_exact"))
+      // sigma(J-hat) = sqrt(J(1-J)/k); 5 sigma + 0.01 absolute floor —
+      // the q_kmv_intersect_bound margin, deterministic for the fixed key
+      val result = withEst.select(
+        col("src_a"), col("src_b"), col("inter_exact"), col("union_exact"),
+        (abs(col("est_j") - col("exact_j")) <=
+          sqrt(col("exact_j") * (lit(1.0) - col("exact_j")) / k) * 5.0 + 0.01)
+          .as("jaccard_within_bound"))
+        .orderBy(col("src_a"), col("src_b"))
+      // materialize the (pairs-sized) matrix before releasing the cache —
+      // the dedupClusters convention
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally grams.unpersist()
+  }
+
   /** Budgeted mixture selection (`q_mixture_select`): enforce a training
     * mixture — per source, select docs in doc_id order until half
     * (num/den = 1/2) of the source's token mass is reached. Pure integer

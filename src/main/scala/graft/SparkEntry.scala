@@ -78,6 +78,9 @@ object SparkEntry {
     "q_repetition_metrics" -> (PipelineQueries.repetitionMetrics _),
     // budgeted mixture selection: integer prefix scan to a token budget
     "q_mixture_select" -> (PipelineQueries.mixtureSelect _),
+    // cross-source gram-overlap matrix: exact intersection/union per pair
+    // + KMV Jaccard estimate gated by the published error model
+    "q_source_overlap" -> (PipelineQueries.sourceOverlapMatrix _),
     "q_simhash_dups" -> (PipelineQueries.simhashDups _),
     // text analysis
     "q_quality_metrics" -> (PipelineQueries.qualityMetrics _),
@@ -302,6 +305,24 @@ object SparkEntry {
           "CAST(count(CASE WHEN cluster IS NULL OR cluster = doc_id THEN 1 END) AS BIGINT) AS n_kept, " +
           "true AS deterministic " +
           "FROM j GROUP BY source ORDER BY source"),
+      // cross-source overlap matrix: exact set arithmetic recomputed from
+      // raw text (injective word->id map makes the gram-set counts equal);
+      // the KMV-vs-exact bound is deterministic for the fixed key, so the
+      // oracle asserts it true — a bound failure turns the row red
+      "q_source_overlap" ->
+        ("WITH toks AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "g AS (SELECT DISTINCT source, unnest(CASE WHEN len(ws) >= 4 THEN " +
+          "[array_to_string(ws[i:i+3], '|') for i in range(1, len(ws)-2)] " +
+          "ELSE CAST([] AS VARCHAR[]) END) AS gram FROM toks), " +
+          "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source), " +
+          "it AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS i FROM g a " +
+          "JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) " +
+          "SELECT p.sa AS src_a, p.sb AS src_b, coalesce(it.i, CAST(0 AS BIGINT)) AS inter_exact, " +
+          "p.na + p.nb - coalesce(it.i, CAST(0 AS BIGINT)) AS union_exact, " +
+          "true AS jaccard_within_bound " +
+          "FROM (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb " +
+          "FROM sz a JOIN sz b ON a.source < b.source) p " +
+          "LEFT JOIN it ON p.sa = it.sa AND p.sb = it.sb ORDER BY src_a, src_b"),
       // budgeted mixture selection: DuckDB replays the identical integer
       // prefix scan (cross-multiplication, no division/float anywhere);
       // prefix_tight is data-dependent (mixed true/false), so the hash

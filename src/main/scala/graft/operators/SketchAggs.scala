@@ -509,6 +509,29 @@ object SketchAggs {
     override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
   }
 
+  /** KMV over a string column (e.g. distinct n-grams per source — the
+    * cross-source overlap matrix). Null strings are skipped, matching the
+    * HLL string aggregator's convention. */
+  final class KmvStringAgg(k0: Long, k1: Long, k: Int)
+      extends Aggregator[String, KmvBuf, Array[Byte]] {
+    override def zero: KmvBuf = KmvBuf(Kmv.emptyHashes(k), 0)
+    override def reduce(buf: KmvBuf, x: String): KmvBuf = {
+      if (x == null) buf
+      else {
+        val s = Kmv.add(buf.hashes, buf.size, SipHash.hashString(k0, k1, x))
+        if (s == buf.size) buf else KmvBuf(buf.hashes, s)
+      }
+    }
+    override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = {
+      val (h, s) = Kmv.merge(b1.hashes, b1.size, b2.hashes, b2.size)
+      KmvBuf(h, s)
+    }
+    override def finish(buf: KmvBuf): Array[Byte] =
+      Kmv.toBytes(buf.hashes, buf.size, BlockedBloom.TypeTag.String, kmvKeyHash(k0, k1))
+    override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder[KmvBuf]()
+    override def outputEncoder: Encoder[Array[Byte]] = byteArrayEnc
+  }
+
   /** Merges already-serialized KMV sketches (second-level aggregation).
     * Accepts mixed capacities by folding down to the smallest (see
     * [[graft.core.Kmv.merge]]); key and element type must match. `null`

@@ -734,6 +734,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KMV string sketch: exact below capacity, Jaccard within 5 sigma, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import graft.core.{Keys, Kmv}
+    import graft.operators.SketchAggs.KmvStringAgg
+    val k = 256
+    val kmvU = udaf(new KmvStringAgg(Keys.DefaultK0, Keys.DefaultK1, k), ExpressionEncoder[String]())
+    // two groups: 200 distinct strings (< k: estimate EXACT), sharing 100
+    val rows = ((0 until 200).map(i => ("a", s"g$i")) ++
+      (100 until 300).map(i => ("b", s"g$i"))).toDF("grp", "v")
+    for (parts <- Seq(1, 7)) {
+      val sk = rows.repartition(parts).groupBy(col("grp")).agg(kmvU(col("v")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val (ha, sa, tagA, _) = Kmv.fromBytes(sk("a"))
+      assert(tagA === graft.core.BlockedBloom.TypeTag.String)
+      assert(math.round(Kmv.estimate(ha, sa)) === 200L, "below capacity must be exact")
+      val (hb, sb, _, _) = Kmv.fromBytes(sk("b"))
+      val (estJ, _) = Kmv.jaccardAndIntersection(ha, sa, hb, sb)
+      val j = 100.0 / 300.0
+      assert(math.abs(estJ - j) <= 5 * math.sqrt(j * (1 - j) / k) + 0.01,
+        s"jaccard estimate $estJ vs exact $j at parts=$parts")
+    }
+  }
+
   test("mixture selection: exact prefix to the budget, integer math, edge fractions") {
     import spark.implicits._
     import graft.operators.MixtureSelection
