@@ -74,10 +74,18 @@ object SparkEntry {
     "q_sampling_frame" -> (PipelineQueries.samplingFrame _),
     // docs -> fixed-token-budget training sequences (next-fit per shard)
     "q_seq_packing" -> (PipelineQueries.seqPacking _),
+    // the packed sequences' CONTENT: concatenated token ids + doc offsets,
+    // gated by exact polynomial hashes DuckDB rebuilds independently
+    "q_seq_pack_content" -> (PipelineQueries.seqPackContent _),
     // Gopher-class repetition quality signals (map-side kernel)
     "q_repetition_metrics" -> (PipelineQueries.repetitionMetrics _),
     // budgeted mixture selection: integer prefix scan to a token budget
     "q_mixture_select" -> (PipelineQueries.mixtureSelect _),
+    // probability-proportional (ES-weighted-order) mixture selection
+    "q_mixture_select_weighted" -> (PipelineQueries.mixtureSelectWeighted _),
+    // BPE merge application: greedy lowest-rank encoding of regex
+    // pre-tokens under the committed merges fixture
+    "q_bpe_tokenize" -> (PipelineQueries.bpeTokenize _),
     // cross-source gram-overlap matrix: exact intersection/union per pair
     // + KMV Jaccard estimate gated by the published error model
     "q_source_overlap" -> (PipelineQueries.sourceOverlapMatrix _),
@@ -131,6 +139,15 @@ object SparkEntry {
       "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents"
     val boundOracle =
       "SELECT source, true AS within_bound FROM documents GROUP BY source ORDER BY source"
+    // BPE sequential replay: each merge is one literal replace() over the
+    // 0x01-bounded symbol string (value-equal to the greedy encoder — see
+    // operators.Bpe); the nesting is generated from the SAME FixtureMerges
+    // list the Spark kernel uses, so the two cannot drift
+    val bpeEnc = graft.operators.Bpe.FixtureMerges.foldLeft(
+      "chr(1) || array_to_string([w[i] for i in range(1, len(w)+1)], chr(1)) || chr(1)") {
+      case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+    }
     Map(
       "q_bloom_probe_exact" ->
         s"SELECT source, count(*) AS n_present FROM ($words) t WHERE w <> '' GROUP BY source ORDER BY source",
@@ -344,6 +361,36 @@ object SparkEntry {
           "coalesce((CAST(coalesce(sum(CASE WHEN selected THEN n_tok END), 0) AS BIGINT) " +
           "+ min(CASE WHEN NOT selected THEN n_tok END)) * 2 > max(tok_total) * 1, true) AS prefix_tight " +
           "FROM s GROUP BY source ORDER BY source"),
+      // weighted (ES-order) mixture selection: the scan order needs keyed
+      // SipHash, so DuckDB pins the order-independent cells exactly and
+      // the order-dependent ones run as in-Spark gates (two-level scan ==
+      // naive single window; budget respected) — constant true
+      "q_mixture_select_weighted" ->
+        ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tok_total, " +
+          "true AS within_budget, true AS cum_matches_single_window, " +
+          "true AS selected_matches_single_window " +
+          "FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0 " +
+          "GROUP BY source ORDER BY source"),
+      // BPE merge application: nested sequential replaces (bpeEnc above)
+      // recompute every pre-token's encoding from raw text; each merge
+      // shortens the symbol string by one boundary, so n_bpe_tok (and
+      // n_merges = n_chars - n_bpe_tok) pin the full merge history
+      "q_bpe_tokenize" ->
+        ("WITH p AS (SELECT doc_id, source, unnest(regexp_extract_all(coalesce(text, ''), " +
+          "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w FROM documents), " +
+          s"e AS (SELECT source, CAST(len(w) AS BIGINT) AS chars, " +
+          s"CAST(len(string_split($bpeEnc, chr(1))) - 2 AS BIGINT) AS ntok FROM p), " +
+          "agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pretok, " +
+          "CAST(sum(chars) AS BIGINT) AS n_chars, CAST(sum(ntok) AS BIGINT) AS n_bpe_tok " +
+          "FROM e GROUP BY source), " +
+          "base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source) " +
+          "SELECT base.source, base.n_docs, " +
+          "coalesce(agg.n_pretok, CAST(0 AS BIGINT)) AS n_pretok, " +
+          "coalesce(agg.n_chars, CAST(0 AS BIGINT)) AS n_chars, " +
+          "coalesce(agg.n_bpe_tok, CAST(0 AS BIGINT)) AS n_bpe_tok, " +
+          "coalesce(agg.n_chars, CAST(0 AS BIGINT)) - coalesce(agg.n_bpe_tok, CAST(0 AS BIGINT)) AS n_merges " +
+          "FROM base LEFT JOIN agg ON base.source = agg.source ORDER BY base.source"),
       // repetition quality signals: every cell integer-exact, recomputed
       // from raw text (word multiplicities via unnest+group, bigram
       // distincts via the list comprehension; chr(1) joiner matches the
@@ -384,6 +431,37 @@ object SparkEntry {
           "SELECT source, CAST(shard AS BIGINT) AS shard, seq_id, " +
           "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tok " +
           "FROM pack GROUP BY source, shard, seq_id ORDER BY source, shard, seq_id"),
+      // packed sequence CONTENT: same recurrence, then DuckDB rebuilds each
+      // sequence's token concatenation (list aggregation in doc_id order)
+      // and document offsets INDEPENDENTLY and hashes them with the same
+      // exact BIGINT polynomial fold the Spark side applies — token ids are
+      // the winnowing word-symbol char fold, reproduced from raw text
+      "q_seq_pack_content" ->
+        ("WITH RECURSIVE w0 AS (SELECT doc_id, source, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "syms AS (SELECT doc_id, source, [list_reduce(" +
+          "[CAST(0 AS BIGINT)] || [CAST(unicode(w[j]) AS BIGINT) for j in range(1, len(w)+1)], " +
+          "(a,b) -> (a*31+b) % 2147483647) for w in ws] AS toks FROM w0), " +
+          "d AS (SELECT source, doc_id // 128 AS shard, doc_id, toks, " +
+          "CAST(len(toks) AS BIGINT) AS n_tok, " +
+          "row_number() OVER (PARTITION BY source, doc_id // 128 ORDER BY doc_id) AS rn FROM syms), " +
+          "pack AS (SELECT source, shard, rn, n_tok, CAST(0 AS BIGINT) AS seq_id, n_tok AS fill " +
+          "FROM d WHERE rn = 1 " +
+          "UNION ALL SELECT nd.source, nd.shard, nd.rn, nd.n_tok, " +
+          "CASE WHEN p.fill + nd.n_tok > 256 THEN p.seq_id + 1 ELSE p.seq_id END, " +
+          "CASE WHEN p.fill + nd.n_tok > 256 THEN nd.n_tok ELSE p.fill + nd.n_tok END " +
+          "FROM pack p JOIN d nd ON nd.source = p.source AND nd.shard = p.shard AND nd.rn = p.rn + 1), " +
+          "seqs AS (SELECT p.source, p.shard, p.seq_id, d.doc_id, d.toks, d.n_tok, " +
+          "CAST(sum(d.n_tok) OVER (PARTITION BY p.source, p.shard, p.seq_id ORDER BY d.doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - d.n_tok AS BIGINT) AS off " +
+          "FROM pack p JOIN d ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn) " +
+          "SELECT source, CAST(shard AS BIGINT) AS shard, seq_id, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tok, " +
+          "list_reduce([CAST(0 AS BIGINT)] || flatten(list(toks ORDER BY doc_id)), " +
+          "(a,b) -> (a*1000003+b) % 2147483647) AS tokens_hash, " +
+          "list_reduce([CAST(0 AS BIGINT)] || list(off ORDER BY doc_id), " +
+          "(a,b) -> (a*1000003+b) % 2147483647) AS offsets_hash " +
+          "FROM seqs GROUP BY source, shard, seq_id ORDER BY source, shard, seq_id"),
       // mixture accounting: every count/mass column exact (integer
       // arithmetic, deterministic winners); sample booleans are exact
       // properties of the deterministic ES sample (constant true)

@@ -236,16 +236,39 @@ object BottomK {
     (typeTag, keyHash, k64.toInt, size64.toInt)
   }
 
-  private def readHashes(bb: ByteBuffer, k: Int, size: Int): Array[Long] = {
+  /** Uniform (version-1) payloads hold element hashes, which addG/mergeG
+    * dedup by hash identity — strictly ascending is the invariant. The
+    * ES-WEIGHTED (version-2) layout keys on exponential double bits, which
+    * legitimately COLLIDE across distinct elements (addW/mergeW use
+    * (key, value)-pair identity; see [[addW]]'s birthday analysis), so a
+    * weighted payload is only required to be NON-DECREASING here — the
+    * strict invariant for version 2 is pair-ascending, validated by
+    * [[requirePairsAscending]] once the values have been read. */
+  private def readHashes(bb: ByteBuffer, k: Int, size: Int, strict: Boolean): Array[Long] = {
     val hashes = new Array[Long](k)
     var i = 0
     while (i < size) {
       hashes(i) = bb.getLong()
-      require(i == 0 || lt(hashes(i - 1), hashes(i)),
-        s"BottomK serialized hashes not strictly ascending at $i")
+      require(i == 0 || lt(hashes(i - 1), hashes(i)) ||
+          (!strict && hashes(i - 1) == hashes(i)),
+        if (strict) s"BottomK serialized hashes not strictly ascending at $i"
+        else s"BottomK serialized weighted keys not non-decreasing at $i")
       i += 1
     }
     hashes
+  }
+
+  /** Weighted-layout tail validation: within an equal-key run, values must
+    * be strictly ascending by the layout's own comparator — the serialized
+    * twin of addW/mergeW's (key, value)-pair identity. */
+  private def requirePairsAscending[V](hashes: Array[Long], values: Array[V],
+      size: Int, cmp: (V, V) => Int): Unit = {
+    var i = 1
+    while (i < size) {
+      require(hashes(i - 1) != hashes(i) || cmp(values(i - 1), values(i)) < 0,
+        s"BottomK serialized weighted (key, value) pairs not strictly ascending at $i")
+      i += 1
+    }
   }
 
   private def toBytesV(version: Long, hashes: Array[Long], values: Array[Long], size: Int,
@@ -278,10 +301,12 @@ object BottomK {
       "BottomK: string-valued sample payload decoded with the long-layout reader")
     require(bytes.length == 40 + 16 * size,
       s"BottomK serialized length ${bytes.length}, expected ${40 + 16 * size}")
-    val hashes = readHashes(bb, k, size)
+    val hashes = readHashes(bb, k, size, strict = expectVersion == SerialVersion)
     val values = new Array[Long](k)
     var i = 0
     while (i < size) { values(i) = bb.getLong(); i += 1 }
+    if (expectVersion == SerialVersionWeighted)
+      requirePairsAscending(hashes, values, size, cmpLong)
     (hashes, values, size, typeTag, keyHash)
   }
 
@@ -337,7 +362,7 @@ object BottomK {
     // into a require failure, never a raw BufferUnderflowException
     require(bytes.length >= 40 + 12 * size,
       s"BottomK serialized length ${bytes.length} too short for $size string entries")
-    val hashes = readHashes(bb, k, size)
+    val hashes = readHashes(bb, k, size, strict = expectVersion == SerialVersion)
     val values = new Array[Array[Byte]](k)
     var i = 0
     while (i < size) {
@@ -351,6 +376,8 @@ object BottomK {
       i += 1
     }
     require(bb.remaining() == 0, s"BottomK serialized trailing ${bb.remaining()} bytes")
+    if (expectVersion == SerialVersionWeighted)
+      requirePairsAscending(hashes, values, size, cmpUtf8)
     (hashes, values, size, keyHash)
   }
 }

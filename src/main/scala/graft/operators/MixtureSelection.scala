@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Budgeted mixture selection — enforcing a training-mixture recipe: per
   * source, select documents in deterministic (doc_id) order until the
@@ -35,12 +35,56 @@ object MixtureSelection {
     * `docs` needs doc_id (castable to long), source, and a long `tokCol`. */
   def withMixtureSelection(docs: DataFrame, tokCol: String,
       num: Long, den: Long, shardDocs: Long = 1L << 16): DataFrame = {
-    require(den > 0 && num >= 0 && num <= den,
-      s"budget fraction must satisfy 0 <= num <= den, got $num/$den")
     require(shardDocs > 0, s"shardDocs must be positive, got $shardDocs")
     // integer `div`: exact for ids above 2^53 (same rule as SequencePacking)
-    val sharded = docs.withColumn("graft_shard",
-      expr(s"cast(doc_id as bigint) div ${shardDocs}L"))
+    budgetScan(docs, tokCol,
+      expr(s"cast(doc_id as bigint) div ${shardDocs}L"), Seq(col("doc_id")), num, den)
+  }
+
+  /** PROBABILITY-PROPORTIONAL (Efraimidis–Spirakis) selection order: docs
+    * are scanned by ascending ES key -ln(u)/w (u deterministic from
+    * SipHash(doc_id), w = the doc's token mass — [[graft.core.BottomK.esKey]]
+    * semantics exactly), so the budget keeps a weighted sample WITHOUT
+    * replacement of the source's documents rather than its first ids.
+    * Requires positive weights; a w <= 0 doc's key degenerates to +Inf/NaN
+    * bits, ordering LAST (zero sampling mass — callers normally filter).
+    *
+    * Shard key for the two-level scan: the key's IEEE-754 bits (non-negative
+    * doubles order like their bits — `graft_double_bits`) divided by
+    * 2^shardBits, a MONOTONE coarsening of the scan order. Each binade
+    * splits into 2^(52-shardBits) buckets, so with the default 40 the bulk
+    * binades of the exponential key distribution split ~4096-way — no
+    * single-task windows, same skew-free shape as the doc_id path. */
+  def withMixtureSelectionWeighted(docs: DataFrame, tokCol: String,
+      num: Long, den: Long, shardBits: Int = 40): DataFrame = {
+    require(shardBits >= 0 && shardBits < 63, s"shardBits must be in [0, 63), got $shardBits")
+    budgetScan(withEsBits(docs, tokCol), tokCol,
+      expr(s"es_bits div ${1L << shardBits}L"), Seq(col("es_bits"), col("doc_id")), num, den)
+  }
+
+  /** Adds `es_bits: bigint` — the ES key's IEEE-754 bits over
+    * (SipHash(doc_id), weight = tokCol). Public so gates can recompute the
+    * order independently. u in (0, 1] from the top 53 hash bits; log() is
+    * StrictMath.log in both Spark eval and codegen == [[graft.core.BottomK
+    * .esKey]]'s StrictMath.log, so these keys are BIT-IDENTICAL to the
+    * weighted sampling aggregator's. */
+  def withEsBits(docs: DataFrame, tokCol: String): DataFrame = {
+    graft.plans.GraftFunctions.registerExpressions(docs.sparkSession)
+    val h = graft.plans.GraftFunctions.sipHash64(col("doc_id").cast("long"))
+    val u = (shiftrightunsigned(h, 11) + lit(1L)).cast("double") / lit(9007199254740992.0)
+    docs.withColumn("es_bits",
+      graft.plans.GraftFunctions.doubleBits(-log(u) / col(tokCol).cast("double")))
+  }
+
+  /** The shared TWO-LEVEL distributed prefix scan: `shardCol` must be a
+    * monotone non-decreasing function of the `orderCols` scan order (equal
+    * shard => contiguous run of the order), which is what makes shard
+    * subtotal offsets + local windows equal the global running sum. */
+  private def budgetScan(docs: DataFrame, tokCol: String, shardCol: Column,
+      orderCols: Seq[Column], num: Long, den: Long): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"budget fraction must satisfy 0 <= num <= den, got $num/$den")
+    val sharded = docs.withColumn("graft_shard", shardCol)
     // (1) one row per (source, shard): subtotal of the shard's token mass
     val sub = sharded.groupBy(col("source"), col("graft_shard"))
       .agg(sum(col(tokCol)).cast("long").as("shard_tok"))
@@ -56,15 +100,26 @@ object MixtureSelection {
       .select(col("source"), col("graft_shard"), col("shard_offset"), col("tok_total"))
     // (3) local prefix scan per (source, shard) — parallel and bounded
     val localW = Window.partitionBy(col("source"), col("graft_shard"))
-      .orderBy(col("doc_id"))
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sharded
       .join(offsets, Seq("source", "graft_shard"))
       .withColumn("cum",
         (col("shard_offset") + sum(col(tokCol)).over(localW)).cast("long"))
-      .withColumn("selected", col("cum") * den <= col("tok_total") * num)
+      .withColumn("selected", dec(col("cum")) * den <= dec(col("tok_total")) * num)
       .drop("graft_shard", "shard_offset")
   }
+
+  /** The cross-multiplication operands are bounded by the source's total
+    * token mass (~1e14 at 100 TB) TIMES an arbitrary caller-supplied
+    * `num`/`den` — a bigint product that can exceed Long silently (wrapped
+    * negatives would quietly flip `selected`). DECIMAL(38,0) exactly covers
+    * every Long x Long product (max ~8.5e37 < 1e38), keeps the predicate
+    * pure integer arithmetic, and stays SQL-engine portable (DuckDB
+    * reproduces it with HUGEINT/DECIMAL — the fixture oracle's BIGINT
+    * math agrees wherever it doesn't overflow). */
+  private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
   /** Per-source selection report (every cell integer-exact): doc counts,
     * selected token mass, the budget bound as the `num/den` fraction
@@ -82,15 +137,16 @@ object MixtureSelection {
         sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
         sum(when(col("selected"), col(tokCol)).otherwise(0L)).cast("long").as("tok_selected"),
         max(col("tok_total")).as("tok_total"),
-        // within budget: tok_selected * den <= tok_total * num
-        (sum(when(col("selected"), col(tokCol)).otherwise(0L)).cast("long") * den <=
-          max(col("tok_total")) * num).as("within_budget"),
+        // within budget: tok_selected * den <= tok_total * num (DECIMAL(38)
+        // cross-multiplication — see `dec`; overflow-proof at any Long scale)
+        (dec(sum(when(col("selected"), col(tokCol)).otherwise(0L)).cast("long")) * den <=
+          dec(max(col("tok_total"))) * num).as("within_budget"),
         // min() skips the nulls of selected rows; a fully-selected
         // source yields null -> true
         coalesce(
-          (sum(when(col("selected"), col(tokCol)).otherwise(0L)).cast("long") +
+          dec(sum(when(col("selected"), col(tokCol)).otherwise(0L)).cast("long") +
             min(when(!col("selected"), col(tokCol)))) * den >
-            max(col("tok_total")) * num,
+            dec(max(col("tok_total"))) * num,
           lit(true)).as("prefix_tight"))
       .orderBy(col("source"))
 }

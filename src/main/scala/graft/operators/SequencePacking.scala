@@ -80,6 +80,78 @@ object SequencePacking {
       .groupBy(col("source"), col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tok"))
 
+  /** Input row for the CONTENT packer: the document's token ids ride along
+    * (n_tok == toks.length by construction). */
+  final case class PackInC(source: String, shard: Long, doc_id: Long, toks: Array[Long])
+
+  /** One materialized training sequence — the artifact a trainer consumes:
+    * the concatenated token ids of its documents in doc_id order, plus the
+    * document boundaries (`doc_offsets(i)` = start of `doc_ids(i)` within
+    * `tokens`; 0-based). */
+  final case class PackSeq(source: String, shard: Long, seq_id: Long,
+      n_docs: Long, seq_tok: Long, doc_ids: Array[Long], doc_offsets: Array[Long],
+      tokens: Array[Long])
+
+  /** Materialize packed sequence CONTENT under the SAME next-fit recurrence
+    * as [[packDocs]] (value-equivalence asserted by PackingSpec): `docs`
+    * needs source, doc_id (long), and `toks: array<bigint>` token ids.
+    * Physical shape is identical to the assignment pass — ONE range
+    * exchange + in-partition sort + a streaming per-partition pass that
+    * emits one row per SEQUENCE (buffering at most one sequence — at most
+    * `capacity` tokens, or one oversized doc — never a whole shard). */
+  def packSequenceContent(docs: DataFrame, capacity: Long, shardDocs: Long): Dataset[PackSeq] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(shardDocs > 0, s"shardDocs must be positive, got $shardDocs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+      col("source"),
+      expr(s"cast(doc_id as bigint) div ${shardDocs}L").as("shard"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("toks").cast("array<bigint>").as("toks")).as[PackInC]
+    base
+      .repartitionByRange(col("source"), col("shard"))
+      .sortWithinPartitions(col("source"), col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[PackSeq] {
+          // seq ids are dense from 0 within each (source, shard) group;
+          // the group state survives across emitted sequences
+          private var curSrc: String = null
+          private var curShard = 0L
+          private var nextSeq = 0L
+          private var started = false
+          override def hasNext: Boolean = in.hasNext
+          override def next(): PackSeq = {
+            val first = in.next()
+            if (!started || first.source != curSrc || first.shard != curShard) {
+              curSrc = first.source; curShard = first.shard
+              nextSeq = 0L; started = true
+            }
+            val ids = scala.collection.mutable.ArrayBuffer(first.doc_id)
+            val offs = scala.collection.mutable.ArrayBuffer(0L)
+            val bufs = scala.collection.mutable.ArrayBuffer(first.toks)
+            var fill = first.toks.length.toLong
+            while (in.hasNext && in.head.source == curSrc && in.head.shard == curShard &&
+                fill + in.head.toks.length <= capacity) {
+              val r = in.next()
+              ids += r.doc_id; offs += fill; bufs += r.toks
+              fill += r.toks.length
+            }
+            require(fill <= Int.MaxValue,
+              s"packed sequence of $fill tokens exceeds array addressing")
+            val tokens = new Array[Long](fill.toInt)
+            var pos = 0
+            bufs.foreach { b => System.arraycopy(b, 0, tokens, pos, b.length); pos += b.length }
+            val out = PackSeq(curSrc, curShard, nextSeq, ids.length.toLong, fill,
+              ids.toArray, offs.toArray, tokens)
+            nextSeq += 1
+            out
+          }
+        }
+      }
+  }
+
   /** Serial reference packer (test oracle): same next-fit recurrence over
     * one in-memory group. */
   private[graft] def packSerial(nToks: Seq[Long], capacity: Long): Seq[Long] = {

@@ -823,8 +823,11 @@ object SketchAggs {
       if (b.hashes == null) return a
       require(a.typeTag == b.typeTag,
         s"BottomK merge: element type mismatch ${a.typeTag} vs ${b.typeTag}")
-      val (h, v, s) = BottomK.mergeW(a.hashes, a.values, a.size,
-        b.hashes, b.values, b.size, BottomK.cmpLong)
+      // hash-identity dedup (merge), matching the first-level addG semantics
+      // AND the version-1 strict-ascending serialization invariant; the
+      // pair-identity mergeW belongs only to the ES-weighted (version-2) aggs
+      val (h, v, s) = BottomK.merge(a.hashes, a.values, a.size,
+        b.hashes, b.values, b.size)
       BottomKMergeBuf(h, v, s, a.typeTag)
     }
 

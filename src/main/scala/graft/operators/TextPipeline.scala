@@ -135,8 +135,11 @@ object TextPipeline {
     * unit) mod P word symbols, polynomial k-gram hashes with a mod after
     * every product, rightmost window minima, first-occurrence dedup of
     * positions then values. One allocation-light pass per document. */
-  private[operators] def winnowKernel(text: String, k: Int, w: Int,
-      pows: Array[Long]): Array[Long] = {
+  /** Charwise (acc*31 + code unit) mod P fold per whitespace word — the
+    * engine-portable token-id map shared by winnowing and the packed-
+    * sequence content (a SQL engine reproduces each id exactly; see the
+    * winnowing oracle). */
+  private[graft] def wordSymbolsKernel(text: String): Array[Long] = {
     if (text == null) return Array.emptyLongArray
     val words = text.split(' ')
     val sy = new scala.collection.mutable.ArrayBuffer[Long](words.length)
@@ -153,6 +156,19 @@ object TextPipeline {
       }
       wi += 1
     }
+    sy.toArray
+  }
+
+  /** Adds `toks: array<bigint>` — the word-symbol token ids of `textCol`
+    * (the packed-sequence content's portable id space). */
+  def withWordSymbols(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val f = udf { (text: String) => wordSymbolsKernel(text) }
+    docs.withColumn("toks", f(col(textCol)))
+  }
+
+  private[operators] def winnowKernel(text: String, k: Int, w: Int,
+      pows: Array[Long]): Array[Long] = {
+    val sy = wordSymbolsKernel(text)
     val n = sy.length
     if (n < k) return Array.emptyLongArray
     val g = new Array[Long](n - k + 1)
@@ -192,22 +208,40 @@ object TextPipeline {
 
   /** Partial-overlap candidate pairs over a winnowed-fingerprint frame
     * (columns: an id, a group/source, `fps: array<bigint>`): the standard
-    * inverted-index join — explode (id, fp), self-join on the fingerprint
-    * value (uniform 31-bit keys partition evenly; cap document frequency
-    * upstream on hot corpora), group pairs, keep those sharing >= minShared
+    * inverted-index join — explode (id, fp), DROP hot fingerprints (df >
+    * maxDf), self-join on the fingerprint value (uniform 31-bit keys
+    * partition evenly), group pairs, keep those sharing >= minShared
     * fingerprints. Pair orientation is idA < idB (numeric — callers must
     * pass a numeric id) and `sa` is the smaller doc's group. Shared by the
     * production query and the WinnowProbe cross-engine diff tool so the
-    * semantics cannot diverge. */
+    * semantics cannot diverge.
+    *
+    * The document-frequency cap is the standard hot-shingle suppression:
+    * the inverted-index self-join is O(df^2) PER fingerprint value, so a
+    * single boilerplate fragment shared by millions of docs at 100 TB (a
+    * license header, a template footer) would alone produce ~10^12
+    * candidate rows. A fingerprint with df > maxDf is boilerplate, not
+    * overlap signal — dropping it bounds every join key at maxDf^2 and
+    * costs one extra partial-agg pass over the exploded rows (map-side
+    * combine on the same uniform fp key; no new skew). Docs sharing ONLY
+    * capped fingerprints lose those shared counts — the deliberate
+    * semantic of suppression (recall on genuine pairwise overlap is
+    * unaffected: a k-word run copied between two documents has df 2). */
   def winnowOverlapPairs(fp: DataFrame, idCol: String, groupCol: String,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2, maxDf: Long = 1000L): DataFrame = {
+    require(maxDf >= 2, s"winnowOverlapPairs: maxDf must be >= 2 (a pair needs df 2), got $maxDf")
     val ex = fp.select(col(idCol).as("id"), col(groupCol).as("grp"),
       explode(col("fps")).as("fp"))
+    // per-fp document frequency ((id, fp) rows are distinct — fps is a
+    // per-doc distinct set), then a semi-join keeps only sub-cap rows
+    val keptFps = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val exKept = ex.join(keptFps, Seq("fp"), "left_semi")
     // fully-distinct column names on both sides, not dataset aliases: a
     // self-join of the same lineage can silently resolve a shared name
     // (or a df("col") reference) to either side
-    val exA = ex.select(col("id").as("da"), col("grp").as("sa"), col("fp").as("fpa"))
-    val exB = ex.select(col("id").as("db"), col("fp").as("fpb"))
+    val exA = exKept.select(col("id").as("da"), col("grp").as("sa"), col("fp").as("fpa"))
+    val exB = exKept.select(col("id").as("db"), col("fp").as("fpb"))
     exA.join(exB, col("fpa") === col("fpb") && col("da") < col("db"))
       .groupBy(col("sa"), col("da"), col("db"))
       .agg(count(lit(1)).as("shared"))
@@ -345,15 +379,20 @@ object TextPipeline {
     * The RETURNED frame is persisted — it anchors an iterative lineage;
     * callers unpersist() it once consumed. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, checkpointEvery: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
     // Iterative plans re-reference each round's frame several times, so the
     // CATALYST plan would grow ~4x per round (analysis blows up long before
     // the data does). Each round is therefore cut over to an RDD-backed
     // frame: analysis cost stays constant per round, RDD lineage grows only
     // linearly, and the persisted parent is released once its child exists.
-    // (A multi-hour production run would also periodically checkpoint to
-    // bound RDD lineage; convergence here is 2-6 rounds.)
+    // Every `checkpointEvery` rounds the label frame is additionally
+    // CHECKPOINTED (reliable if a checkpoint dir is configured, local
+    // otherwise), cutting the RDD lineage itself — near-dup graphs converge
+    // in 2-6 rounds and never reach it, but chained-duplicate graphs (crawl
+    // snapshots re-crawled with small edits) have long diameters, and a
+    // multi-hour run must not tow a hundred-round lineage into every task
+    // re-execution.
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     val edges = truncated(
@@ -387,6 +426,23 @@ object TextPipeline {
         labels = next
         done = changed == 0L
         iter += 1
+        if (!done && checkpointEvery > 0 && iter % checkpointEvery == 0) {
+          // RELIABLE checkpoint, not localCheckpoint: a local checkpoint
+          // pins executor storage that no caller-visible handle can ever
+          // unpersist (it bypasses the CacheManager), breaking the
+          // leak-free convention this operator's tests assert. Files land
+          // in the user's checkpoint dir, or a tmpdir default (cleaned on
+          // JVM exit; long-lived apps set spark.cleaner.referenceTracking
+          // .cleanCheckpoints or their own dir policy). Eager, and labels
+          // is cached, so the write reads the cache — one extra pass of
+          // one round every checkpointEvery rounds.
+          if (spark.sparkContext.getCheckpointDir.isEmpty)
+            spark.sparkContext.setCheckpointDir(new java.io.File(
+              System.getProperty("java.io.tmpdir"), "graft_cc_checkpoint").getAbsolutePath)
+          val cp = labels.checkpoint()
+          labels.unpersist()
+          labels = cp
+        }
       }
       require(done, s"connectedComponents: no convergence after $maxIters rounds " +
         "(component diameter exceeds 2^iters — not a near-dup-shaped graph)")

@@ -220,6 +220,33 @@ case class SipHash64Expr(child: Expression, k0: Long, k1: Long)
     copy(child = newChild)
 }
 
+/** Native scalar `graft_double_bits(x DOUBLE)` — the IEEE-754 bit pattern
+  * of a double as BIGINT. For NON-NEGATIVE doubles the raw bits order
+  * exactly like the values (the [[graft.core.BottomK.esKey]] property), so
+  * the bits of a weighted-sampling key are a range-shardable integer: the
+  * ES-weighted mixture-selection scan buckets on `bits div 2^shardBits`,
+  * a monotone coarsening of the key order. Codegen is a single static
+  * call — stays inside whole-stage codegen. */
+case class DoubleBitsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_double_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"type $t not supported (double)")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToLongBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native pairwise Bloom set ops `graft_bloom_intersect` /
   * `graft_bloom_union` (reference `intersectionInto` / `unionInto`,
   * `Internal.hs:494-550`): word-wise AND / OR of two serialized filters,
@@ -283,8 +310,14 @@ object GraftFunctions {
 
   val BloomMightContainName = "graft_bloom_might_contain"
   val SipHash64Name = "graft_sip_hash64"
+  val DoubleBitsName = "graft_double_bits"
   val BloomIntersectName = "graft_bloom_intersect"
   val BloomUnionName = "graft_bloom_union"
+
+  private[plans] def doubleBitsBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(e) => DoubleBitsExpr(e)
+    case _ => throw new IllegalArgumentException(s"$DoubleBitsName expects (x DOUBLE)")
+  }
 
   private[plans] def sipBuilder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(e) => SipHash64Expr(e, Keys.DefaultK0, Keys.DefaultK1)
@@ -329,6 +362,7 @@ object GraftFunctions {
   private[plans] val nativeExpressions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     (BloomMightContainName, classOf[BloomMightContain], builder _),
     (SipHash64Name, classOf[SipHash64Expr], sipBuilder _),
+    (DoubleBitsName, classOf[DoubleBitsExpr], doubleBitsBuilder _),
     (BloomIntersectName, classOf[BloomSetOp], setOpBuilder(intersection = true) _),
     (BloomUnionName, classOf[BloomSetOp], setOpBuilder(intersection = false) _),
     (SketchReaders.HllEstimateName, classOf[HllEstimateExpr], SketchReaders.hllBuilder _),
@@ -439,6 +473,9 @@ object GraftFunctions {
   def sipHash64(elem: Column, k0: Long, k1: Long): Column =
     org.apache.spark.sql.functions.call_function(SipHash64Name, elem,
       org.apache.spark.sql.functions.lit(k0), org.apache.spark.sql.functions.lit(k1))
+
+  def doubleBits(x: Column): Column =
+    org.apache.spark.sql.functions.call_function(DoubleBitsName, x)
 }
 
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injection —

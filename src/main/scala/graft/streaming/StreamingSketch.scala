@@ -564,17 +564,22 @@ object StreamingSketch {
     * doc's distinct n-grams present in the eval set. The Bloom is the
     * short-circuit (almost every gram of an uncontaminated doc stops at
     * ~k word probes), the exact set decides — same FP-immune semantics as
-    * the batch operator's prefilter + confirm join, fused per row because
-    * a stream ships the (small by construction) eval artifacts to every
-    * executor once instead of joining. A serializable `Function1` class
-    * (not a lambda) so the parsed Bloom is rebuilt lazily per executor,
-    * and array arguments go through Scala's converters. */
-  final class DeconScorer(bloomBytes: Array[Byte], evalGrams: Set[String],
+    * the batch operator's prefilter + confirm join (which BROADCASTS its
+    * eval side, `Decontamination.decontaminate`); the eval artifacts here
+    * ride a `Broadcast` handle for the same reason — only the tiny handle
+    * is serialized into the UDF closure per task, while the bytes + gram
+    * set ship to each executor ONCE over the broadcast mechanism (a
+    * production eval set is millions of grams; closure capture would
+    * re-serialize it into every task binary). A serializable `Function1`
+    * class (not a lambda) so the parsed Bloom is rebuilt lazily per
+    * executor, and array arguments go through Scala's converters. */
+  final class DeconScorer(bc: org.apache.spark.broadcast.Broadcast[(Array[Byte], Set[String])],
       k0: Long, k1: Long, n: Int) extends (Array[Int] => Int) with Serializable {
     @transient private lazy val parsed =
-      graft.core.BlockedBloom.fromBytes(k0, k1, bloomBytes)
+      graft.core.BlockedBloom.fromBytes(k0, k1, bc.value._1)
     override def apply(tokens: Array[Int]): Int = {
       val (cfg, words, _) = parsed
+      val evalGrams = bc.value._2
       val grams = graft.operators.Decontamination.gramStrings(tokens, n)
       var hits = 0
       var i = 0
@@ -628,7 +633,8 @@ object StreamingSketch {
       evalGrams.foreach(g => graft.core.BlockedBloom.insertString(words, bloomCfg, g))
       graft.core.BlockedBloom.toBytes(words, bloomCfg, graft.core.BlockedBloom.TypeTag.String)
     }
-    val scorer = new DeconScorer(bloomBytes, evalGrams, bloomCfg.k0, bloomCfg.k1, n)
+    val scorer = new DeconScorer(
+      spark.sparkContext.broadcast((bloomBytes, evalGrams)), bloomCfg.k0, bloomCfg.k1, n)
 
     val rows = collectReplayRows(t.where(col("source") =!= evalSource), epoch0)
     val stream = MemoryStream[(Timestamp, String, Array[Int])]

@@ -39,9 +39,61 @@ object WinnowProbe {
     spark.stop()
   }
 
+  /** Hot-fingerprint stress (the df-cap evidence): every doc carries the
+    * SAME boilerplate sentence (>= w + k - 1 shared words => >= 1 shared
+    * fingerprint with df == nDocs) plus unique filler. The inverted-index
+    * self-join is O(df^2) PER fingerprint, so uncapped candidate volume is
+    * ~hotFps * nDocs^2/2 — the quadratic the maxDf cap exists to remove.
+    * Prints both volumes (computed from the df histogram, not by running
+    * the uncapped join) and times the CAPPED pair join end to end.
+    * Usage: runMain graft.tools.WinnowProbe hotfp <nDocs> [cpus]. */
+  private def hotFpMode(nDocs: Long, cpus: Int): Unit = {
+    val spark = SparkSession.builder()
+      .appName("winnow-probe-hotfp").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val boiler = "copyright header all rights reserved do not remove this notice ever"
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"), lit("src0").as("source"),
+      concat_ws(" ",
+        concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          i => format_string("u%d_%d", col("id"), i))),
+        lit(boiler)).as("text"))
+    val fp = graft.operators.TextPipeline.withWinnowFingerprints(docs)
+      .select(col("doc_id"), col("source"), col("fps")).persist()
+    try {
+      val maxDf = 1000L
+      val dfHist = fp.select(explode(col("fps")).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("df"))
+        .agg(
+          max(col("df")).as("max_df"),
+          sum(col("df") * (col("df") - 1) / 2).cast("long").as("vol_uncapped"),
+          sum(when(col("df") <= maxDf, col("df") * (col("df") - 1) / 2).otherwise(0L))
+            .cast("long").as("vol_capped"),
+          count(when(col("df") > maxDf, lit(1))).as("n_hot_fps"))
+        .head()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.TextPipeline
+        .winnowOverlapPairs(fp, "doc_id", "source", minShared = 1, maxDf = maxDf)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[winnow-hotfp] docs=$nDocs max_df=${dfHist.getLong(0)} " +
+        f"hot_fps=${dfHist.getLong(3)} candidate_volume_uncapped=${dfHist.getLong(1)} " +
+        f"candidate_volume_capped=${dfHist.getLong(2)} capped_pairs=$pairs " +
+        f"capped_join_sec=$sec%.2f")
+    } finally fp.unpersist()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("bench")) {
       benchMode(args(1).toLong, if (args.length > 2) args(2).toInt else 8)
+      return
+    }
+    if (args.headOption.contains("hotfp")) {
+      hotFpMode(args(1).toLong, if (args.length > 2) args(2).toInt else 8)
       return
     }
     val Array(sfDir, out) = args

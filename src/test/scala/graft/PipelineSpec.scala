@@ -823,4 +823,184 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length === 1)
     assert(out.head.shard === id / 128L, s"shard ${out.head.shard} != exact ${id / 128L}")
   }
+
+  test("packed sequence content: concatenation in doc order, offsets exact, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.SequencePacking
+    val rnd = new scala.util.Random(9)
+    val capacity = 64L
+    val docs = (0L until 200L).map { id =>
+      // lengths straddle the capacity: empties, exact fits, overflow docs
+      val n = rnd.nextInt(10) match {
+        case 0 => 0
+        case 1 => 64
+        case 2 => 80 + rnd.nextInt(30) // overflow: alone in a sequence
+        case _ => 1 + rnd.nextInt(30)
+      }
+      (id, s"src${id % 3}", (0 until n).map(_ => rnd.nextInt(1 << 20).toLong).toArray)
+    }
+    val expected = docs.groupBy { case (id, src, _) => (src, id / 16) }
+      .flatMap { case ((src, shard), group) =>
+        val sorted = group.sortBy(_._1)
+        val seqIds = SequencePacking.packSerial(sorted.map(_._3.length.toLong), capacity)
+        sorted.zip(seqIds).groupBy(_._2).map { case (seq, members) =>
+          val toks = members.flatMap(_._1._3)
+          val offs = members.map(_._1._3.length.toLong).scanLeft(0L)(_ + _).dropRight(1)
+          (src, shard, seq) ->
+            ((members.map(_._1._1), offs, toks.toSeq, members.map(_._1._3.length.toLong).sum))
+        }
+      }.toMap
+    for (parts <- Seq(1, 5)) {
+      val got = SequencePacking.packSequenceContent(
+          docs.toDF("doc_id", "source", "toks").repartition(parts), capacity, 16L)
+        .collect()
+        .map(p => (p.source, p.shard, p.seq_id) ->
+          ((p.doc_ids.toSeq, p.doc_offsets.toSeq, p.tokens.toSeq, p.seq_tok))).toMap
+      assert(got.keySet === expected.keySet, s"sequence set differs at parts=$parts")
+      expected.foreach { case (k, (ids, offs, toks, tot)) =>
+        val (gIds, gOffs, gToks, gTot) = got(k)
+        assert(gIds === ids, s"doc ids differ for $k at parts=$parts")
+        assert(gOffs === offs, s"offsets differ for $k at parts=$parts")
+        assert(gToks === toks, s"tokens differ for $k at parts=$parts")
+        assert(gTot === tot && gTot === gToks.length.toLong)
+      }
+    }
+    // assignment agrees with packDocs on the derived n_tok frame
+    val viaAssign = SequencePacking.packDocs(
+        docs.map { case (id, src, t) => (id, src, t.length.toLong) }
+          .toDF("doc_id", "source", "n_tok"), capacity, 16L)
+      .collect().map(p => (p.source, p.shard, p.doc_id) -> p.seq_id).toMap
+    val viaContent = SequencePacking.packSequenceContent(
+        docs.toDF("doc_id", "source", "toks"), capacity, 16L)
+      .collect().flatMap(p => p.doc_ids.map(id => (p.source, p.shard, id) -> p.seq_id)).toMap
+    assert(viaContent === viaAssign)
+  }
+
+  test("weighted mixture selection: two-level ES-order scan equals one window; keys match esKey") {
+    import spark.implicits._
+    import graft.core.{BottomK, Keys, SipHash}
+    import graft.operators.MixtureSelection
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val df = (0L until 300L).map(id => (id, s"src${id % 4}", 1L + rnd.nextInt(80).toLong))
+      .toDF("doc_id", "source", "n_tok")
+    // the operator's es_bits are BIT-IDENTICAL to the weighted sampler's keys
+    val bits = MixtureSelection.withEsBits(df, "n_tok")
+      .select("doc_id", "n_tok", "es_bits").collect()
+    bits.foreach { r =>
+      val expectedKey = BottomK.esKey(
+        SipHash.hashLong(Keys.DefaultK0, Keys.DefaultK1, r.getLong(0)), r.getLong(1).toDouble)
+      assert(r.getLong(2) === expectedKey, s"es_bits drifted for doc ${r.getLong(0)}")
+    }
+    // naive single-window formulation over the same keys (the gate shape)
+    val w = Window.partitionBy(col("source")).orderBy(col("es_bits"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.groupBy(col("source")).agg(sum(col("n_tok")).cast("long").as("tok_total"))
+    val naive = MixtureSelection.withEsBits(df, "n_tok").join(tot, Seq("source"))
+      .withColumn("cum", sum(col("n_tok")).over(w).cast("long"))
+      .withColumn("selected", col("cum") * 2L <= col("tok_total") * 1L)
+      .select("source", "doc_id", "cum", "selected").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    for (shardBits <- Seq(0, 20, 40, 62)) {
+      val got = MixtureSelection.withMixtureSelectionWeighted(df, "n_tok", 1L, 2L, shardBits)
+        .select("source", "doc_id", "cum", "selected").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+      assert(got === naive, s"weighted two-level scan diverged at shardBits=$shardBits")
+    }
+    // the selection is a contiguous prefix in ES-key order per source
+    val sel = MixtureSelection.withMixtureSelectionWeighted(df, "n_tok", 1L, 2L)
+      .select("source", "es_bits", "doc_id", "selected").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getBoolean(3)).toSeq)
+    sel.foreach { case (src, fs) =>
+      assert(!fs.dropWhile(identity).contains(true), s"$src weighted selection not a prefix")
+    }
+  }
+
+  test("BPE: greedy kernel equals sequential rank replay; fixture examples exact") {
+    import graft.operators.Bpe
+    val ranks = new java.util.HashMap[String, Integer]()
+    Bpe.FixtureMerges.zipWithIndex.foreach { case ((a, b), r) =>
+      ranks.put(a + " " + b, Integer.valueOf(r)) }
+    // the oracle's semantics: merges applied sequentially in rank order,
+    // each in ONE leftmost-first non-overlapping pass
+    def sequential(word: String): Seq[String] = {
+      var syms = word.map(String.valueOf(_)).toVector
+      Bpe.FixtureMerges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    assert(Bpe.encodeWord("the", ranks).toSeq === Seq("the"))
+    assert(Bpe.encodeWord("and", ranks).toSeq === Seq("and"))
+    assert(Bpe.encodeWord("there", ranks).toSeq === Seq("the", "re"))
+    assert(Bpe.encodeWord("standing", ranks).toSeq === Seq("st", "and", "in", "g"))
+    assert(Bpe.encodeWord("x", ranks).toSeq === Seq("x"))
+    assert(Bpe.encodeWord("", ranks).toSeq === Seq.empty)
+    // randomized words over the merge alphabet: greedy == sequential replay
+    val rnd = new scala.util.Random(17)
+    val chars = "theinandorst"
+    (0 until 500).foreach { _ =>
+      val word = (0 until 1 + rnd.nextInt(14)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      assert(Bpe.encodeWord(word, ranks).toSeq === sequential(word),
+        s"greedy != sequential on '$word'")
+    }
+    // DataFrame surface: pre-tokens encode independently and concatenate
+    import spark.implicits._
+    val out = Bpe.withBpeTokens(Seq(("d1", "the cat and the dog"), ("d2", null))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(out("d1") === Seq("the", "c", "at", "and", "the", "d", "o", "g"))
+    assert(out("d2") === Seq.empty)
+  }
+
+  test("connected components: periodic checkpoint converges long-diameter chains leak-free") {
+    import spark.implicits._
+    // a 300-node chain needs ~9 pointer-jumping rounds; checkpointEvery=2
+    // fires several reliable checkpoints (auto tmpdir) along the way
+    val path = (0L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = TextPipeline.connectedComponents(path, maxIters = 20, checkpointEvery = 2)
+    val got = cc.collect()
+    cc.unpersist()
+    assert(got.length === 301 && got.forall(_.getLong(1) == 0L))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked after checkpointed run: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("winnow overlap pairs: document-frequency cap suppresses hot boilerplate fingerprints") {
+    import spark.implicits._
+    // 20 docs all share fp 999 (a boilerplate header); docs 1 and 2 also
+    // share two genuine fps. The inverted-index join is O(df^2) per fp, so
+    // the cap must drop 999 while leaving genuine overlap intact.
+    val fp = (1L to 20L).map { id =>
+      val own = Seq(id * 1000L, id * 1000L + 1L)
+      val genuine = if (id <= 2L) Seq(100L, 101L) else Seq.empty[Long]
+      (id, s"src${id % 2}", (Seq(999L) ++ genuine ++ own).toArray)
+    }.toDF("doc_id", "source", "fps")
+    // cap inactive (fixture df 20 <= 1000): the hot fp contributes shared
+    // counts — every pair shares >= 1, only (1,2) reaches minShared 2
+    val uncapped = TextPipeline.winnowOverlapPairs(fp, "doc_id", "source", minShared = 1)
+      .collect()
+    assert(uncapped.length === 190, s"expected all 190 pairs via the hot fp")
+    // cap active: fp 999 (df 20 > 10) is dropped entirely -> only the
+    // genuine pair remains, even at minShared 1
+    val capped = TextPipeline.winnowOverlapPairs(fp, "doc_id", "source",
+        minShared = 1, maxDf = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(capped.toSeq === Seq((1L, 2L, 2L)))
+    // value-identity when the cap is above every df (the fixture regime)
+    val wide = TextPipeline.winnowOverlapPairs(fp, "doc_id", "source",
+        minShared = 2, maxDf = 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val none = TextPipeline.winnowOverlapPairs(fp, "doc_id", "source", minShared = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(wide === none && wide === Set((1L, 2L, 3L)))
+  }
 }

@@ -265,6 +265,53 @@ class BottomKSpec extends AnyFunSuite {
     assert(s3 === 2 && v3.take(2).sameElements(Array(10L, 15L)))
   }
 
+  test("weighted payload with COLLIDED keys round-trips through decode (both layouts)") {
+    // The serialized twin of pair identity: a collided v2 buffer must
+    // decode (keys non-decreasing, (key, value) pairs strictly ascending),
+    // while a corrupted pair order must still fail loudly. Regression for
+    // the round-5 ADVICE high: readHashes demanded strictly-ascending keys
+    // for BOTH versions, so the merge aggs crashed exactly when an ES-key
+    // collision occurred at target scale.
+    val key = BottomK.esKey(0x1234abcdL << 11, 3.0)
+    val (h, v) = BottomK.emptyBuffers(8)
+    var s = 0
+    Seq(77L, 13L, 99L).foreach(x => s = BottomK.addW(h, v, s, key, x, BottomK.cmpLong))
+    val bytes = BottomK.toBytesWeighted(h, v, s, BlockedBloom.TypeTag.Long, 0xabcL)
+    val (h2, v2, s2, tag, kh) = BottomK.fromBytesWeighted(bytes)
+    assert(s2 === 3 && tag === BlockedBloom.TypeTag.Long && kh === 0xabcL)
+    assert(h2.take(s).sameElements(h.take(s)) && v2.take(s).sameElements(v.take(s)))
+    assert(BottomK.toBytesWeighted(h2, v2, s2, tag, kh).sameElements(bytes))
+    // corrupt: swap the values of the first two collided entries so the
+    // equal-key run's values DESCEND -> pair-ascending validation rejects
+    val bad = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(bad)
+    val vOff = 40 + 8 * s
+    val x0 = bb.getLong(vOff); val x1 = bb.getLong(vOff + 8)
+    bb.putLong(vOff, x1); bb.putLong(vOff + 8, x0)
+    val e = intercept[IllegalArgumentException](BottomK.fromBytesWeighted(bad))
+    assert(e.getMessage.contains("pairs not strictly ascending"))
+    // exact duplicated PAIR in the payload is likewise rejected
+    val dup = bytes.clone()
+    val db = java.nio.ByteBuffer.wrap(dup)
+    db.putLong(vOff + 8, db.getLong(vOff))
+    intercept[IllegalArgumentException](BottomK.fromBytesWeighted(dup))
+    // string layout: same collided-key round-trip
+    def b(x: String) = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sh = new Array[Long](8)
+    val sv = new Array[Array[Byte]](8)
+    var ss = 0
+    Seq("mango", "apple", "pear").foreach(x =>
+      ss = BottomK.addW(sh, sv, ss, key, b(x), BottomK.cmpUtf8))
+    val sBytes = BottomK.toBytesStrWeighted(sh, sv, ss, 0xabcL)
+    val (sh2, sv2, ss2, skh) = BottomK.fromBytesStrWeighted(sBytes)
+    assert(ss2 === 3 && skh === 0xabcL && sh2.take(3).forall(_ == key))
+    assert(sv2.take(3).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).toSeq
+      === Seq("apple", "mango", "pear"))
+    // and the serialized second-level merge path accepts collided payloads
+    val (mh, mv, ms) = BottomK.mergeW(h2, v2, s2, h2, v2, s2, BottomK.cmpLong)
+    assert(ms === s2 && mh.take(ms).sameElements(h2.take(s2)))
+  }
+
   test("cmpUtf8 orders by UTF-8 bytes (Spark UTF8_BINARY), not UTF-16 code units") {
     def b(x: String) = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     assert(BottomK.cmpUtf8(b("a"), b("b")) < 0)

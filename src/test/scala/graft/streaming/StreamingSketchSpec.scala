@@ -390,7 +390,8 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val words = new Array[Long](cfg.l)
     evalGrams.foreach(g => BlockedBloom.insertString(words, cfg, g))
     val bytes = BlockedBloom.toBytes(words, cfg, BlockedBloom.TypeTag.String)
-    val scorer = new StreamingSketch.DeconScorer(bytes, evalGrams, cfg.k0, cfg.k1, 4)
+    val scorer = new StreamingSketch.DeconScorer(
+      spark.sparkContext.broadcast((bytes, evalGrams)), cfg.k0, cfg.k1, 4)
     assert(scorer(Array(1, 2, 3, 4, 5)) === 1)    // one planted gram
     assert(scorer(Array(9, 9, 9, 9, 9, 9)) === 1) // repeated gram counts once
     assert(scorer(Array(5, 4, 3, 2, 1)) === 0)    // reversed: no hit
