@@ -72,6 +72,12 @@ object PlanCheck {
     show("bigramHeavyHitters", graft.SketchQueries.bigramHeavyHitters(spark, dir))
     show("seqPacking", graft.PipelineQueries.seqPacking(spark, dir))
     show("mixtureSelect", graft.PipelineQueries.mixtureSelect(spark, dir))
+    // round-6 additions: packed sequence content (same single range
+    // exchange as the assignment), the ES-weighted budget scan, and the
+    // BPE merge-application projection
+    show("seqPackContent", graft.PipelineQueries.seqPackContent(spark, dir))
+    show("mixtureSelectWeighted", graft.PipelineQueries.mixtureSelectWeighted(spark, dir))
+    show("bpeTokenize", graft.PipelineQueries.bpeTokenize(spark, dir))
     spark.stop()
   }
 }
