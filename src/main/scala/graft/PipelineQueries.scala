@@ -685,6 +685,76 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** End-to-end CURATION FUNNEL (`q_curation_funnel`): the composition a
+    * training-data pipeline actually ships — per source, survivors of each
+    * curation stage and of their conjunction, in one report:
+    *  - n_docs: raw volume;
+    *  - n_quality: quality gate ([[TextPipeline.withQualityMetrics]]);
+    *  - n_unique: exact-dedup winners (global min-doc_id per fingerprint);
+    *  - n_clean: docs NOT sharing a 4-gram with the held-out eval source
+    *    (the Bloom-prefiltered decontamination drop-set — eval-source rows
+    *    are trivially clean);
+    *  - n_nonrep: docs passing the Gopher-class repetition gate;
+    *  - n_final / tok_final: the conjunction and its token mass — what
+    *    actually reaches the tokenizer.
+    * Plan shape: ONE documents scan carries quality + fingerprint +
+    * repetition flags (map-side kernels + the fp window); the
+    * contamination drop-set arrives as an ids-only frame from the
+    * decontamination path (uncontaminated grams never shuffle) joined on
+    * doc_id; one source-keyed rollup. Every cell integer-exact — DuckDB
+    * recomputes all six stages from raw text. */
+  def curationFunnel(spark: SparkSession, dir: String,
+      evalSource: String = "src0"): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val (contamIds, evalGrams) = operators.Decontamination.contaminatedDocIdsLazy(
+      graft.sources.Tokens.table(spark, dir), evalSource, 4, SketchQueries.bloomCfg)
+    try {
+      val flags = TextPipeline.withRepetitionMetrics(TextPipeline.withQualityMetrics(d))
+        .withColumn("fp", TextPipeline.fingerprintCol(d, col("text")))
+        .withColumn("kept", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+            .orderBy(col("doc_id"))) === 1)
+      // tokens-table doc ids are strings; join on the cast, keep long order
+      val withContam = flags
+        .join(contamIds.select(col("doc_id").as("contam_key"), lit(true).as("contam")),
+          col("doc_id").cast("string") === col("contam_key"), "left")
+        .withColumn("clean", coalesce(col("contam"), lit(false)) === false)
+        .withColumn("final",
+          col("kept") && col("quality_ok") && col("clean") && !col("repetitive"))
+      val result = withContam.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+          sum(when(!col("repetitive"), 1L).otherwise(0L)).as("n_nonrep"),
+          sum(when(col("final"), 1L).otherwise(0L)).as("n_final"),
+          sum(when(col("final"), col("word_count")).otherwise(0L)).as("tok_final"))
+        .orderBy(col("source"))
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally evalGrams.unpersist()
+  }
+
+  /** Exact vocabulary build (`q_vocab_build`): the corpus-wide token
+    * vocabulary above a count floor — the artifact a tokenizer/merges
+    * trainer consumes. Output (token, cnt, df) for every whitespace token
+    * with total count >= minCount; df = documents containing it.
+    * Scale shape: ONE scan — a per-doc counting kernel emits (token,
+    * in-doc count) pairs map-side (in-doc duplicates pre-combined, df = 1
+    * row per (doc, token) by construction), so the single shuffle carries
+    * per-doc partials keyed by the token, partial-agg combined again per
+    * partition. No doc_id ever shuffles. */
+  def vocabBuild(spark: SparkSession, dir: String, minCount: Long = 20L): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(TextPipeline.docTokenCounts(col("text"))).as("kv"))
+      .select(col("kv._1").as("token"), col("kv._2").as("doc_cnt"))
+      .groupBy(col("token"))
+      .agg(sum(col("doc_cnt")).cast("long").as("cnt"), count(lit(1)).as("df"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("token"))
+
   /** Multimodal pipeline with REAL decode: synthetic-but-real PNG/WAV/frame
     * payloads -> batched decode (mapPartitions; javax.imageio +
     * javax.sound.sampled) -> per-(source, media_type) stats. The decoded

@@ -86,6 +86,13 @@ object SparkEntry {
     // BPE merge application: greedy lowest-rank encoding of regex
     // pre-tokens under the committed merges fixture
     "q_bpe_tokenize" -> (PipelineQueries.bpeTokenize _),
+    // end-to-end curation funnel: quality ∧ dedup ∧ decontamination ∧
+    // repetition survivors per source, one report
+    "q_curation_funnel" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.curationFunnel(s, d)),
+    // exact corpus vocabulary (count + document frequency, min-count 20)
+    "q_vocab_build" -> ((s: SparkSession, d: String) =>
+      PipelineQueries.vocabBuild(s, d)),
     // cross-source gram-overlap matrix: exact intersection/union per pair
     // + KMV Jaccard estimate gated by the published error model
     "q_source_overlap" -> (PipelineQueries.sourceOverlapMatrix _),
@@ -391,6 +398,49 @@ object SparkEntry {
           "coalesce(agg.n_bpe_tok, CAST(0 AS BIGINT)) AS n_bpe_tok, " +
           "coalesce(agg.n_chars, CAST(0 AS BIGINT)) - coalesce(agg.n_bpe_tok, CAST(0 AS BIGINT)) AS n_merges " +
           "FROM base LEFT JOIN agg ON base.source = agg.source ORDER BY base.source"),
+      // curation funnel: all six stages recomputed from raw text — quality
+      // (lambda SQL), dedup winners (text-partition window), contamination
+      // (word 4-grams vs src0, injective word→id map), repetition
+      // (unnest+group + list-comprehension bigrams), and the conjunction
+      "q_curation_funnel" ->
+        ("WITH t AS (SELECT doc_id, source, text, " +
+          "len(list_filter(string_split(text, ' '), w -> w <> '')) AS wc, " +
+          "len(list_filter(string_split(text, ' '), w -> w IN " +
+          "('the','a','an','and','or','of','to','in','is','it'))) AS sw, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "f AS (SELECT doc_id, source, wc, " +
+          "(wc BETWEEN 5 AND 10000 AND 2 * sw <= wc) AS qok, " +
+          "(row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1) AS kept FROM t), " +
+          "g AS (SELECT doc_id, source, unnest(list_distinct(" +
+          "CASE WHEN len(ws) >= 4 THEN [array_to_string(ws[i:i+3], '|') " +
+          "for i in range(1, len(ws)-2)] ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t), " +
+          "ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'), " +
+          "contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.source <> 'src0'), " +
+          "tops AS (SELECT doc_id, max(c) AS top FROM (SELECT doc_id, word, count(*) AS c " +
+          "FROM (SELECT doc_id, unnest(ws) AS word FROM t) GROUP BY doc_id, word) GROUP BY doc_id), " +
+          "rep AS (SELECT t.doc_id, (coalesce(tops.top, 0) * 5 > len(ws) OR " +
+          "(CASE WHEN len(ws) >= 2 THEN (len(ws) - 1) - " +
+          "len(list_distinct([ws[i] || chr(1) || ws[i+1] for i in range(1, len(ws))])) ELSE 0 END) * 5 > " +
+          "(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END)) AS repetitive " +
+          "FROM t LEFT JOIN tops ON t.doc_id = tops.doc_id), " +
+          "j AS (SELECT f.doc_id, f.source, f.wc, f.qok, f.kept, " +
+          "(contam.doc_id IS NULL) AS clean, rep.repetitive " +
+          "FROM f LEFT JOIN contam ON f.doc_id = contam.doc_id " +
+          "JOIN rep ON f.doc_id = rep.doc_id) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(count(CASE WHEN qok THEN 1 END) AS BIGINT) AS n_quality, " +
+          "CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_unique, " +
+          "CAST(count(CASE WHEN clean THEN 1 END) AS BIGINT) AS n_clean, " +
+          "CAST(count(CASE WHEN NOT repetitive THEN 1 END) AS BIGINT) AS n_nonrep, " +
+          "CAST(count(CASE WHEN kept AND qok AND clean AND NOT repetitive THEN 1 END) AS BIGINT) AS n_final, " +
+          "CAST(coalesce(sum(CASE WHEN kept AND qok AND clean AND NOT repetitive THEN wc END), 0) AS BIGINT) AS tok_final " +
+          "FROM j GROUP BY source ORDER BY source"),
+      // vocabulary build: exact counts + document frequencies from raw text
+      "q_vocab_build" ->
+        ("SELECT token, CAST(count(*) AS BIGINT) AS cnt, " +
+          "CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+          "FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token " +
+          "FROM documents) GROUP BY token HAVING count(*) >= 20 ORDER BY token"),
       // repetition quality signals: every cell integer-exact, recomputed
       // from raw text (word multiplicities via unnest+group, bigram
       // distincts via the list comprehension; chr(1) joiner matches the

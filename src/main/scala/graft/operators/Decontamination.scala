@@ -106,10 +106,10 @@ object Decontamination {
     } finally evalGrams.unpersist()
   }
 
-  /** The lazy plan behind [[decontaminate]] plus its persisted eval gram
-    * frame (exposed so PlanCheck can capture the REAL distributed plan;
-    * the caller owns the unpersist). */
-  private[graft] def decontaminateLazy(tokens: DataFrame, evalSource: String,
+  /** The shared hit path: confirmed contaminated (doc_id, source, gram)
+    * rows plus the persisted eval gram frame (caller unpersists). Bloom
+    * prefilter in the scan stage, broadcast exact confirm — FP-immune. */
+  private def hitRowsLazy(tokens: DataFrame, evalSource: String,
       n: Int, cfg: BloomConfig): (DataFrame, DataFrame) = {
     GraftFunctions.register(tokens.sparkSession)
     val grams = gramRows(tokens, n)
@@ -123,7 +123,25 @@ object Decontamination {
       train.where(GraftFunctions.bloomMightContain(lit(sketch), col("gram")))
     // exact confirm: FP-immune, broadcast (eval gram sets are small by
     // construction at any corpus scale)
-    val hits = prefiltered.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+    (prefiltered.join(broadcast(evalGrams), Seq("gram"), "left_semi"), evalGrams)
+  }
+
+  /** Distinct contaminated train doc ids — the DROP-SET a curation funnel
+    * consumes (same prefilter + confirm path as the report; ids-only
+    * output, so nothing doc-sized shuffles). Caller unpersists the second
+    * frame once the first is consumed. */
+  private[graft] def contaminatedDocIdsLazy(tokens: DataFrame, evalSource: String,
+      n: Int, cfg: BloomConfig): (DataFrame, DataFrame) = {
+    val (hits, evalGrams) = hitRowsLazy(tokens, evalSource, n, cfg)
+    (hits.select(col("doc_id")).distinct(), evalGrams)
+  }
+
+  /** The lazy plan behind [[decontaminate]] plus its persisted eval gram
+    * frame (exposed so PlanCheck can capture the REAL distributed plan;
+    * the caller owns the unpersist). */
+  private[graft] def decontaminateLazy(tokens: DataFrame, evalSource: String,
+      n: Int, cfg: BloomConfig): (DataFrame, DataFrame) = {
+    val (hits, evalGrams) = hitRowsLazy(tokens, evalSource, n, cfg)
     val perSourceHits = hits
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_contam_docs"),

@@ -551,6 +551,34 @@ object TextPipeline {
           (col("n_bigrams") - col("n_distinct_bigrams")) * 5 > col("n_bigrams"))
   }
 
+  /** Per-doc token counts as (token, count) pairs — one HashMap pass per
+    * document (the vocab-build kernel: in-doc duplicates combine map-side,
+    * so the vocabulary shuffle carries per-doc partials, never raw
+    * occurrences, and document frequency is exactly one emitted pair per
+    * (doc, token)). */
+  def docTokenCounts(textCol: Column): Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[(String, Long)]
+      else {
+        val m = new java.util.LinkedHashMap[String, Long]()
+        var i = 0
+        val n = text.length
+        while (i < n) {
+          while (i < n && text.charAt(i) == ' ') i += 1
+          val start = i
+          while (i < n && text.charAt(i) != ' ') i += 1
+          if (i > start) m.merge(text.substring(start, i), 1L, (a, b) => a + b)
+        }
+        val out = new Array[(String, Long)](m.size)
+        val it = m.entrySet().iterator()
+        var o = 0
+        while (it.hasNext) { val e = it.next(); out(o) = (e.getKey, e.getValue); o += 1 }
+        out
+      }
+    }
+    f(textCol)
+  }
+
   /** BPE-ish regex tokenizer: alphabetic runs, digit runs, and single
     * punctuation marks become separate tokens (the pre-tokenization pass a
     * byte-pair encoder applies before merges — GPT-2-style contractions

@@ -974,6 +974,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"leaked after checkpointed run: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("vocab build: per-doc counting kernel matches a collections recomputation") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b a  c b a", 1L), ("", 2L), ("b b", 3L), (null: String, 4L))
+      .toDF("text", "doc_id")
+    val got = df.select(explode(TextPipeline.docTokenCounts(col("text"))).as("kv"))
+      .select(col("kv._1"), col("kv._2")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    // doc1 "a b a  c b a": a=3 b=2 c=1 (double space folds); doc3 "b b": b=2
+    assert(got === Map("a" -> Seq(3L), "b" -> Seq(2L, 2L), "c" -> Seq(1L)))
+    val vocab = PipelineQueries.vocabBuild(spark, "/root/testdata/sf0.001", minCount = 5L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    assert(vocab.nonEmpty)
+    // spot-check one token against a direct recomputation
+    val (tok, (cnt, dfreq)) = vocab.head
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    assert(cnt === docs.map(_.split(' ').count(_ == tok)).sum.toLong)
+    assert(dfreq === docs.count(_.split(' ').contains(tok)).toLong)
+  }
+
+  test("curation funnel: stage counts nest and the conjunction is consistent") {
+    val out = PipelineQueries.curationFunnel(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (src, (nDocs, nQ, nU, nC, nR, nF, tokF)) =>
+      assert(nQ <= nDocs && nU <= nDocs && nC <= nDocs && nR <= nDocs, src)
+      assert(nF <= Seq(nQ, nU, nC, nR).min, s"$src conjunction exceeds a stage")
+      assert((nF == 0) == (tokF == 0L) || tokF > 0L, src)
+    }
+    // eval-source rows are trivially clean (contamination is defined
+    // against src0, which never joins itself)
+    assert(out("src0")._4 === out("src0")._1)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("winnow overlap pairs: document-frequency cap suppresses hot boilerplate fingerprints") {
     import spark.implicits._
     // 20 docs all share fp 999 (a boilerplate header); docs 1 and 2 also
