@@ -738,22 +738,33 @@ object PipelineQueries {
   }
 
   /** Exact vocabulary build (`q_vocab_build`): the corpus-wide token
-    * vocabulary above a count floor — the artifact a tokenizer/merges
-    * trainer consumes. Output (token, cnt, df) for every whitespace token
-    * with total count >= minCount; df = documents containing it.
+    * vocabulary above a RELATIVE frequency floor — the artifact a
+    * tokenizer/merges trainer consumes. Output (token, cnt, df) for every
+    * whitespace token with cnt/total >= num/den (integer
+    * cross-multiplication, scale-invariant: the same fraction filters the
+    * same tail at any corpus size); df = documents containing it.
     * Scale shape: ONE scan — a per-doc counting kernel emits (token,
     * in-doc count) pairs map-side (in-doc duplicates pre-combined, df = 1
     * row per (doc, token) by construction), so the single shuffle carries
     * per-doc partials keyed by the token, partial-agg combined again per
-    * partition. No doc_id ever shuffles. */
-  def vocabBuild(spark: SparkSession, dir: String, minCount: Long = 20L): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    * partition; the total-mass row is summary-sized and broadcasts. No
+    * doc_id ever shuffles. */
+  def vocabBuild(spark: SparkSession, dir: String,
+      num: Long = 1L, den: Long = 100L): DataFrame = {
+    require(den > 0 && num >= 0, s"frequency floor must satisfy num >= 0, den > 0, got $num/$den")
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(TextPipeline.docTokenCounts(col("text"))).as("kv"))
       .select(col("kv._1").as("token"), col("kv._2").as("doc_cnt"))
       .groupBy(col("token"))
       .agg(sum(col("doc_cnt")).cast("long").as("cnt"), count(lit(1)).as("df"))
-      .where(col("cnt") >= minCount)
+    val total = counts.agg(sum(col("cnt")).cast("long").as("tot"))
+    counts.crossJoin(broadcast(total))
+      .where(dec(col("cnt")) * den >= dec(col("tot")) * num)
+      .select(col("token"), col("cnt"), col("df"))
       .orderBy(col("token"))
+  }
 
   /** Multimodal pipeline with REAL decode: synthetic-but-real PNG/WAV/frame
     * payloads -> batched decode (mapPartitions; javax.imageio +

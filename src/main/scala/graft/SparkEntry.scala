@@ -90,7 +90,7 @@ object SparkEntry {
     // repetition survivors per source, one report
     "q_curation_funnel" -> ((s: SparkSession, d: String) =>
       PipelineQueries.curationFunnel(s, d)),
-    // exact corpus vocabulary (count + document frequency, min-count 20)
+    // exact corpus vocabulary (count + document frequency, >= 1% of mass)
     "q_vocab_build" -> ((s: SparkSession, d: String) =>
       PipelineQueries.vocabBuild(s, d)),
     // cross-source gram-overlap matrix: exact intersection/union per pair
@@ -435,12 +435,15 @@ object SparkEntry {
           "CAST(count(CASE WHEN kept AND qok AND clean AND NOT repetitive THEN 1 END) AS BIGINT) AS n_final, " +
           "CAST(coalesce(sum(CASE WHEN kept AND qok AND clean AND NOT repetitive THEN wc END), 0) AS BIGINT) AS tok_final " +
           "FROM j GROUP BY source ORDER BY source"),
-      // vocabulary build: exact counts + document frequencies from raw text
+      // vocabulary build: exact counts + document frequencies from raw
+      // text, relative floor cnt/total >= 1/100 by cross-multiplication
       "q_vocab_build" ->
-        ("SELECT token, CAST(count(*) AS BIGINT) AS cnt, " +
+        ("WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt, " +
           "CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
           "FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token " +
-          "FROM documents) GROUP BY token HAVING count(*) >= 20 ORDER BY token"),
+          "FROM documents) GROUP BY token), " +
+          "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c) " +
+          "SELECT token, cnt, df FROM c, t WHERE cnt * 100 >= tot * 1 ORDER BY token"),
       // repetition quality signals: every cell integer-exact, recomputed
       // from raw text (word multiplicities via unnest+group, bigram
       // distincts via the list comprehension; chr(1) joiner matches the

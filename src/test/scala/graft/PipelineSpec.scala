@@ -961,6 +961,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("d2") === Seq.empty)
   }
 
+  test("BPE: greedy equals sequential replay for RANDOM valid merge tables") {
+    import graft.operators.Bpe
+    // a merge table is VALID when each pair's constituents exist before
+    // its rank (chars, or tokens produced by earlier merges) — the
+    // precondition of the equivalence theorem; build such tables randomly
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcd"
+    (0 until 40).foreach { trial =>
+      var available = alphabet.map(String.valueOf(_)).toVector
+      val merges = (0 until 10).map { _ =>
+        val a = available(rnd.nextInt(available.size))
+        val b = available(rnd.nextInt(available.size))
+        available :+= (a + b)
+        (a, b)
+      }.toVector
+      val ranks = new java.util.HashMap[String, Integer]()
+      // last rank wins on duplicate pairs in the table — mirror that in
+      // the sequential replay by deduplicating to the FIRST occurrence
+      // (a later duplicate pair can never fire: its occurrences were
+      // exhausted at the earlier rank)
+      val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
+      merges.foreach(m => if (!seen.contains(m)) { seen += m })
+      val uniq = seen.toVector
+      uniq.zipWithIndex.foreach { case ((a, b), r) =>
+        ranks.put(a + " " + b, Integer.valueOf(r)) }
+      def sequential(word: String): Seq[String] = {
+        var syms = word.map(String.valueOf(_)).toVector
+        uniq.foreach { case (a, b) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+        syms
+      }
+      (0 until 25).foreach { _ =>
+        val word = (0 until 1 + rnd.nextInt(16))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        assert(Bpe.encodeWord(word, ranks).toSeq === sequential(word),
+          s"trial $trial: greedy != sequential on '$word' with merges $uniq")
+      }
+    }
+  }
+
   test("connected components: periodic checkpoint converges long-diameter chains leak-free") {
     import spark.implicits._
     // a 300-node chain needs ~9 pointer-jumping rounds; checkpointEvery=2
@@ -984,9 +1032,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
     // doc1 "a b a  c b a": a=3 b=2 c=1 (double space folds); doc3 "b b": b=2
     assert(got === Map("a" -> Seq(3L), "b" -> Seq(2L, 2L), "c" -> Seq(1L)))
-    val vocab = PipelineQueries.vocabBuild(spark, "/root/testdata/sf0.001", minCount = 5L)
+    // floor 0/1 keeps everything: the kernel path vs a direct recount
+    val vocab = PipelineQueries.vocabBuild(spark, "/root/testdata/sf0.001",
+        num = 0L, den = 1L)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
     assert(vocab.nonEmpty)
+    // the relative floor actually filters: 1% must drop the rare tail
+    // while keeping the common words (scale-invariant by construction)
+    val floored = PipelineQueries.vocabBuild(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(floored.length < vocab.length && floored.nonEmpty)
     // spot-check one token against a direct recomputation
     val (tok, (cnt, dfreq)) = vocab.head
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
