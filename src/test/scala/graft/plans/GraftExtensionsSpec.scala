@@ -41,6 +41,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!miss || BlockedBloom.containsInt(words, cfg, 1000000))
   }
 
+  test("graft_double_bits: injected, bit-exact, order-preserving, type-checked") {
+    val b = spark.sql("SELECT graft_double_bits(CAST(1.5 AS DOUBLE))").head().getLong(0)
+    assert(b === java.lang.Double.doubleToLongBits(1.5))
+    // non-negative doubles order like their bits — the property the
+    // weighted mixture scan's shard key relies on
+    val rows = spark.sql(
+      "SELECT graft_double_bits(CAST(x AS DOUBLE)) FROM VALUES (0.0), (1e-300), (0.5), (1.0), (2.0), (1e300) t(x)")
+      .collect().map(_.getLong(0))
+    assert(rows.sameElements(rows.sorted))
+    assert(rows.forall(_ >= 0L))
+    // analysis-time type rejection, not runtime garbage
+    val e = intercept[Exception](spark.sql("SELECT graft_double_bits('nope')").collect())
+    assert(e.getMessage.contains("not supported") || e.getMessage.contains("DATATYPE"))
+  }
+
   test("round-3 injected functions: set ops, readers, cosine resolve from pure SQL") {
     val cfg = BloomConfig(Keys.DefaultK0, Keys.DefaultK1, 3, 8)
     val words = new Array[Long](cfg.l)
