@@ -766,6 +766,46 @@ object PipelineQueries {
       .orderBy(col("token"))
   }
 
+  /** The COMPLETE text-to-trainer path in one query
+    * (`q_text_to_sequences`): raw text -> regex pre-tokens -> greedy BPE
+    * merges -> vocabulary id map -> fixed-budget packed sequences with
+    * document boundaries — every stage an operator this library ships,
+    * composed end to end and replayed INDEPENDENTLY by DuckDB (nested
+    * merge replaces, lexicographic vocab ranks, the packing recurrence,
+    * list aggregation, polynomial hashes). A wrong merge, a wrong vocab
+    * id, or one out-of-order token anywhere breaks a row hash.
+    *
+    * Scale notes: the vocabulary is MODEL METADATA (~100k entries for a
+    * production tokenizer) — collected once and broadcast, the IVF-
+    * centroid convention, NOT a data-sized driver pull; its rank window
+    * is a single task over vocab-sized rows by construction. Everything
+    * doc-sized stays the packer's single range exchange. */
+  def textToSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val withBpe = operators.Bpe.withBpeTokens(d)
+      .select(col("source"), col("doc_id"), col("bpe_tokens"))
+    // deterministic vocab: dense lexicographic ranks over the distinct
+    // BPE tokens (vocab-sized global window — summary rows only)
+    val vocab = withBpe.select(explode(col("bpe_tokens")).as("token")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
+    val vmap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    val idsUdf = udf { (toks: Seq[String]) => toks.map(bc.value(_)).toArray }
+    val withIds = withBpe
+      .select(col("source"), col("doc_id"), idsUdf(col("bpe_tokens")).as("toks"))
+    operators.SequencePacking.packSequenceContent(withIds, capacity = 256, shardDocs = 128)
+      .toDF()
+      .select(col("source"), col("shard"), col("seq_id"), col("n_docs"), col("seq_tok"),
+        expr("aggregate(tokens, 0L, (a, t) -> (a * 1000003L + t) % 2147483647L)")
+          .as("tokens_hash"),
+        expr("aggregate(doc_offsets, 0L, (a, t) -> (a * 1000003L + t) % 2147483647L)")
+          .as("offsets_hash"),
+        lit(vmap.size.toLong).as("vocab_size"))
+      .orderBy(col("source"), col("shard"), col("seq_id"))
+  }
+
   /** Multimodal pipeline with REAL decode: synthetic-but-real PNG/WAV/frame
     * payloads -> batched decode (mapPartitions; javax.imageio +
     * javax.sound.sampled) -> per-(source, media_type) stats. The decoded

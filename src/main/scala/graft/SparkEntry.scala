@@ -90,6 +90,9 @@ object SparkEntry {
     // repetition survivors per source, one report
     "q_curation_funnel" -> ((s: SparkSession, d: String) =>
       PipelineQueries.curationFunnel(s, d)),
+    // the complete text-to-trainer path: regex pre-tokens -> BPE merges ->
+    // vocab ids -> packed sequences, replayed end-to-end by DuckDB
+    "q_text_to_sequences" -> (PipelineQueries.textToSequences _),
     // exact corpus vocabulary (count + document frequency, >= 1% of mass)
     "q_vocab_build" -> ((s: SparkSession, d: String) =>
       PipelineQueries.vocabBuild(s, d)),
@@ -435,6 +438,43 @@ object SparkEntry {
           "CAST(count(CASE WHEN kept AND qok AND clean AND NOT repetitive THEN 1 END) AS BIGINT) AS n_final, " +
           "CAST(coalesce(sum(CASE WHEN kept AND qok AND clean AND NOT repetitive THEN wc END), 0) AS BIGINT) AS tok_final " +
           "FROM j GROUP BY source ORDER BY source"),
+      // the complete text-to-trainer replay: per-doc BPE token lists via
+      // the same nested replaces (bpeEnc, inside a list comprehension over
+      // the pre-tokens), lexicographic vocab ranks, the packing recurrence,
+      // then per-sequence concatenation + offsets hashed exactly
+      "q_text_to_sequences" ->
+        ("WITH RECURSIVE p AS (SELECT doc_id, source, " +
+          s"flatten([list_filter(string_split($bpeEnc, chr(1)), s -> s <> '') " +
+          "for w in regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')]) AS toks " +
+          "FROM documents), " +
+          "vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid " +
+          "FROM (SELECT DISTINCT unnest(toks) AS token FROM p)), " +
+          "idl AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM " +
+          "(SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM p) u " +
+          "JOIN vocab ON u.tok = vocab.token GROUP BY doc_id), " +
+          "ia AS (SELECT p.doc_id, p.source, coalesce(idl.ids, CAST([] AS BIGINT[])) AS toks " +
+          "FROM p LEFT JOIN idl ON p.doc_id = idl.doc_id), " +
+          "d AS (SELECT source, doc_id // 128 AS shard, doc_id, toks, " +
+          "CAST(len(toks) AS BIGINT) AS n_tok, " +
+          "row_number() OVER (PARTITION BY source, doc_id // 128 ORDER BY doc_id) AS rn FROM ia), " +
+          "pack AS (SELECT source, shard, rn, n_tok, CAST(0 AS BIGINT) AS seq_id, n_tok AS fill " +
+          "FROM d WHERE rn = 1 " +
+          "UNION ALL SELECT nd.source, nd.shard, nd.rn, nd.n_tok, " +
+          "CASE WHEN p.fill + nd.n_tok > 256 THEN p.seq_id + 1 ELSE p.seq_id END, " +
+          "CASE WHEN p.fill + nd.n_tok > 256 THEN nd.n_tok ELSE p.fill + nd.n_tok END " +
+          "FROM pack p JOIN d nd ON nd.source = p.source AND nd.shard = p.shard AND nd.rn = p.rn + 1), " +
+          "seqs AS (SELECT p.source, p.shard, p.seq_id, d.doc_id, d.toks, d.n_tok, " +
+          "CAST(sum(d.n_tok) OVER (PARTITION BY p.source, p.shard, p.seq_id ORDER BY d.doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - d.n_tok AS BIGINT) AS off " +
+          "FROM pack p JOIN d ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn) " +
+          "SELECT source, CAST(shard AS BIGINT) AS shard, seq_id, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tok, " +
+          "list_reduce([CAST(0 AS BIGINT)] || flatten(list(toks ORDER BY doc_id)), " +
+          "(a,b) -> (a*1000003+b) % 2147483647) AS tokens_hash, " +
+          "list_reduce([CAST(0 AS BIGINT)] || list(off ORDER BY doc_id), " +
+          "(a,b) -> (a*1000003+b) % 2147483647) AS offsets_hash, " +
+          "CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_size " +
+          "FROM seqs GROUP BY source, shard, seq_id ORDER BY source, shard, seq_id"),
       // vocabulary build: exact counts + document frequencies from raw
       // text, relative floor cnt/total >= 1/100 by cross-multiplication
       "q_vocab_build" ->

@@ -78,6 +78,7 @@ object PlanCheck {
     show("seqPackContent", graft.PipelineQueries.seqPackContent(spark, dir))
     show("mixtureSelectWeighted", graft.PipelineQueries.mixtureSelectWeighted(spark, dir))
     show("bpeTokenize", graft.PipelineQueries.bpeTokenize(spark, dir))
+    show("textToSequences", graft.PipelineQueries.textToSequences(spark, dir))
     spark.stop()
   }
 }
