@@ -631,8 +631,7 @@ object PipelineQueries {
     *    (DECIMAL(38) cross-multiplication). */
   def mixtureSelectWeighted(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dec = (c: org.apache.spark.sql.Column) =>
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    import operators.MixtureSelection.dec
     val num = 1L
     val den = 2L
     // zero-weight docs carry no sampling mass; the weighted frame excludes
@@ -751,9 +750,8 @@ object PipelineQueries {
     * doc_id ever shuffles. */
   def vocabBuild(spark: SparkSession, dir: String,
       num: Long = 1L, den: Long = 100L): DataFrame = {
+    import operators.MixtureSelection.dec
     require(den > 0 && num >= 0, s"frequency floor must satisfy num >= 0, den > 0, got $num/$den")
-    val dec = (c: org.apache.spark.sql.Column) =>
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val counts = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(TextPipeline.docTokenCounts(col("text"))).as("kv"))
       .select(col("kv._1").as("token"), col("kv._2").as("doc_cnt"))
@@ -784,26 +782,38 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    // persisted: the greedy merge kernel is the dominant per-doc cost and
+    // THREE consumers read this frame (the vocab distinct, the id mapping,
+    // and the packer's range-boundary sampling pass) — without the cache
+    // the whole BPE encode would run three times end to end
     val withBpe = operators.Bpe.withBpeTokens(d)
-      .select(col("source"), col("doc_id"), col("bpe_tokens"))
-    // deterministic vocab: dense lexicographic ranks over the distinct
-    // BPE tokens (vocab-sized global window — summary rows only)
-    val vocab = withBpe.select(explode(col("bpe_tokens")).as("token")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
-    val vmap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bc = spark.sparkContext.broadcast(vmap)
-    val idsUdf = udf { (toks: Seq[String]) => toks.map(bc.value(_)).toArray }
-    val withIds = withBpe
-      .select(col("source"), col("doc_id"), idsUdf(col("bpe_tokens")).as("toks"))
-    operators.SequencePacking.packSequenceContent(withIds, capacity = 256, shardDocs = 128)
-      .toDF()
-      .select(col("source"), col("shard"), col("seq_id"), col("n_docs"), col("seq_tok"),
-        expr("aggregate(tokens, 0L, (a, t) -> (a * 1000003L + t) % 2147483647L)")
-          .as("tokens_hash"),
-        expr("aggregate(doc_offsets, 0L, (a, t) -> (a * 1000003L + t) % 2147483647L)")
-          .as("offsets_hash"),
-        lit(vmap.size.toLong).as("vocab_size"))
-      .orderBy(col("source"), col("shard"), col("seq_id"))
+      .select(col("source"), col("doc_id"), col("bpe_tokens")).persist()
+    try {
+      // deterministic vocab: dense lexicographic ranks over the distinct
+      // BPE tokens (vocab-sized global window — summary rows only)
+      val vocab = withBpe.select(explode(col("bpe_tokens")).as("token")).distinct()
+        .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
+      val vmap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = spark.sparkContext.broadcast(vmap)
+      val idsUdf = udf { (toks: Seq[String]) => toks.map(bc.value(_)).toArray }
+      val withIds = withBpe
+        .select(col("source"), col("doc_id"), idsUdf(col("bpe_tokens")).as("toks"))
+      val result = operators.SequencePacking
+        .packSequenceContent(withIds, capacity = 256, shardDocs = 128)
+        .toDF()
+        .select(col("source"), col("shard"), col("seq_id"), col("n_docs"), col("seq_tok"),
+          expr("aggregate(tokens, 0L, (a, t) -> (a * 1000003L + t) % 2147483647L)")
+            .as("tokens_hash"),
+          expr("aggregate(doc_offsets, 0L, (a, t) -> (a * 1000003L + t) % 2147483647L)")
+            .as("offsets_hash"),
+          lit(vmap.size.toLong).as("vocab_size"))
+        .orderBy(col("source"), col("shard"), col("seq_id"))
+      // materialize before releasing the cache — the dedupClusters
+      // convention (the returned frame must not recompute lazily after
+      // unpersist)
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally withBpe.unpersist()
   }
 
   /** Multimodal pipeline with REAL decode: synthetic-but-real PNG/WAV/frame

@@ -149,14 +149,21 @@ object SparkEntry {
       "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents"
     val boundOracle =
       "SELECT source, true AS within_bound FROM documents GROUP BY source ORDER BY source"
-    // BPE sequential replay: each merge is one literal replace() over the
-    // 0x01-bounded symbol string (value-equal to the greedy encoder — see
-    // operators.Bpe); the nesting is generated from the SAME FixtureMerges
-    // list the Spark kernel uses, so the two cannot drift
+    // BPE sequential replay: each merge rank is a literal replace() over
+    // the 0x01-bounded symbol string, applied TWICE (value-equal to the
+    // greedy encoder for left != right merges — see the adjacency analysis
+    // in operators.Bpe's scaladoc: two adjacent occurrences share a
+    // boundary byte that the first replacement consumes, so one pass
+    // merges the odd-indexed occurrences of a run and leaves each survivor
+    // isolated and fully re-bounded; the second pass finishes them; a
+    // third can never match because merging creates no new occurrence).
+    // The nesting is generated from the SAME FixtureMerges list the Spark
+    // kernel uses, so the two cannot drift.
     val bpeEnc = graft.operators.Bpe.FixtureMerges.foldLeft(
       "chr(1) || array_to_string([w[i] for i in range(1, len(w)+1)], chr(1)) || chr(1)") {
       case (acc, (a, b)) =>
-        s"replace($acc, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+        val once = s"replace($acc, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+        s"replace($once, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
     }
     Map(
       "q_bloom_probe_exact" ->
@@ -406,11 +413,18 @@ object SparkEntry {
       // (word 4-grams vs src0, injective word→id map), repetition
       // (unnest+group + list-comprehension bigrams), and the conjunction
       "q_curation_funnel" ->
+        // coalesce(text, '') in every computed field (the q_bpe_tokenize
+        // convention): Spark's kernels treat a NULL text as empty (zeros,
+        // repetitive=false), while uncoalesced SQL yields NULL and a
+        // NULL `NOT repetitive` silently drops the doc from n_nonrep.
+        // The dedup window stays on RAW text: NULLs group together there,
+        // mirroring the fingerprint convention (null -> 0L), and must not
+        // collapse into the ''-text group.
         ("WITH t AS (SELECT doc_id, source, text, " +
-          "len(list_filter(string_split(text, ' '), w -> w <> '')) AS wc, " +
-          "len(list_filter(string_split(text, ' '), w -> w IN " +
+          "len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS wc, " +
+          "len(list_filter(string_split(coalesce(text, ''), ' '), w -> w IN " +
           "('the','a','an','and','or','of','to','in','is','it'))) AS sw, " +
-          "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+          "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws FROM documents), " +
           "f AS (SELECT doc_id, source, wc, " +
           "(wc BETWEEN 5 AND 10000 AND 2 * sw <= wc) AS qok, " +
           "(row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1) AS kept FROM t), " +
@@ -604,8 +618,14 @@ object SparkEntry {
           "CAST(sum(len(fps)) AS BIGINT) AS total_fps FROM winnow GROUP BY source), " +
           "dfp AS (SELECT source, CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps " +
           "FROM ex GROUP BY source), " +
+          // the SAME document-frequency cap the operator applies (maxDf
+          // 1000, hot-boilerplate suppression) — fixture max df is 6, but
+          // the oracle must carry the cap so the two can never diverge on
+          // a hotter corpus
+          "dfc AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 1000), " +
+          "exc AS (SELECT ex.doc_id, ex.source, ex.fp FROM ex JOIN dfc USING (fp)), " +
           "prs AS (SELECT a.source AS source, a.doc_id AS da, b.doc_id AS db " +
-          "FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+          "FROM exc a JOIN exc b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
           "GROUP BY 1, 2, 3 HAVING count(*) >= 2), " +
           "ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_overlap_pairs FROM prs GROUP BY source) " +
           "SELECT d.source, d.n_docs, d.total_fps, " +

@@ -19,7 +19,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   * rank, and one pass per rank suffices (merging (x,y) cannot create a
   * new (x,y): that would need y == xy or x == xy). The DuckDB oracle
   * exploits this: each word becomes a 0x01-bounded symbol string and each
-  * merge one literal `replace()` — bit-for-bit the same token sequence.
+  * merge a literal `replace()` — applied TWICE per rank, because string
+  * replacement is weaker than the list pass on ADJACENT occurrences: in
+  * `x y x y` the first replacement consumes the boundary byte the second
+  * occurrence needs, so one pass merges only the odd-indexed occurrences
+  * of a run. Each survivor is then isolated between merged tokens (fully
+  * re-bounded), so the second pass merges them all, and a third pass can
+  * never match. This equivalence requires every merge's LEFT != RIGHT
+  * (all of [[FixtureMerges]]; enforced by `rankMap`): for a
+  * self-pair like (x, x), occurrences OVERLAP and the string replay's
+  * leftmost-nonoverlap choice can differ from the list pass's (`x x x x x`
+  * tokenizes xx|xx|x by the list pass but xx|x|xx by the replay). The
+  * greedy kernel itself has no such restriction — only the string-replay
+  * oracle does.
   *
   * Scale shape: a pure map-side projection (one kernel UDF per row, merge
   * ranks broadcast via the task binary — a real vocab's ~50k merges is a
@@ -80,11 +92,15 @@ object Bpe {
 
   /** Boxed Integer values, NOT Int: `HashMap[String, Int].get` on a missing
     * key would auto-unbox null to 0 — a VALID rank — silently merging
-    * unlearned pairs. */
+    * unlearned pairs. Self-pairs (left == right) are rejected here because
+    * the SQL-replay oracle is only exact for disjoint-occurrence merges
+    * (see the object scaladoc); real tokenizers' repeated-character merges
+    * would need a dedicated oracle before lifting this. */
   private def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), r) =>
       require(a.nonEmpty && b.nonEmpty, "BPE merge symbols must be non-empty")
+      require(a != b, s"BPE merge ($a, $b): self-pairs are outside the SQL-replay contract")
       m.put(a + " " + b, Integer.valueOf(r))
     }
     m

@@ -118,7 +118,7 @@ object MixtureSelection {
     * pure integer arithmetic, and stays SQL-engine portable (DuckDB
     * reproduces it with HUGEINT/DECIMAL — the fixture oracle's BIGINT
     * math agrees wherever it doesn't overflow). */
-  private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def dec(c: Column): Column =
     c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
   /** Per-source selection report (every cell integer-exact): doc counts,

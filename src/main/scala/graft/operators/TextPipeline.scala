@@ -129,12 +129,6 @@ object TextPipeline {
     docs.withColumn("fps", f(col(textCol)))
   }
 
-  /** Imperative winnowing kernel — the same algorithm as the expression
-    * pipeline in [[withWinnowFingerprintsHof]], value-identical per doc
-    * (asserted by PipelineSpec on the fixture): charwise (acc*31 + code
-    * unit) mod P word symbols, polynomial k-gram hashes with a mod after
-    * every product, rightmost window minima, first-occurrence dedup of
-    * positions then values. One allocation-light pass per document. */
   /** Charwise (acc*31 + code unit) mod P fold per whitespace word — the
     * engine-portable token-id map shared by winnowing and the packed-
     * sequence content (a SQL engine reproduces each id exactly; see the
@@ -166,6 +160,12 @@ object TextPipeline {
     docs.withColumn("toks", f(col(textCol)))
   }
 
+  /** Imperative winnowing kernel — the same algorithm as the expression
+    * pipeline in [[withWinnowFingerprintsHof]], value-identical per doc
+    * (asserted by PipelineSpec on the fixture): [[wordSymbolsKernel]] word
+    * symbols, polynomial k-gram hashes with a mod after every product,
+    * rightmost window minima, first-occurrence dedup of positions then
+    * values. One allocation-light pass per document. */
   private[operators] def winnowKernel(text: String, k: Int, w: Int,
       pows: Array[Long]): Array[Long] = {
     val sy = wordSymbolsKernel(text)
@@ -430,15 +430,23 @@ object TextPipeline {
           // RELIABLE checkpoint, not localCheckpoint: a local checkpoint
           // pins executor storage that no caller-visible handle can ever
           // unpersist (it bypasses the CacheManager), breaking the
-          // leak-free convention this operator's tests assert. Files land
-          // in the user's checkpoint dir, or a tmpdir default (cleaned on
-          // JVM exit; long-lived apps set spark.cleaner.referenceTracking
-          // .cleanCheckpoints or their own dir policy). Eager, and labels
-          // is cached, so the write reads the cache — one extra pass of
-          // one round every checkpointEvery rounds.
-          if (spark.sparkContext.getCheckpointDir.isEmpty)
+          // leak-free convention this operator's tests assert. Reliable
+          // checkpoints need a SHARED filesystem, so the tmpdir default is
+          // only valid in local mode — on a cluster the caller must
+          // configure a checkpoint dir (HDFS/S3), the GraphFrames
+          // convention. The files are NOT auto-deleted: long-lived apps
+          // set spark.cleaner.referenceTracking.cleanCheckpoints or their
+          // own dir retention. Eager, and labels is cached, so the write
+          // reads the cache — one extra pass of one round every
+          // checkpointEvery rounds.
+          if (spark.sparkContext.getCheckpointDir.isEmpty) {
+            require(spark.sparkContext.isLocal,
+              "connectedComponents: long-diameter graphs need periodic reliable " +
+                "checkpoints; set spark.sparkContext.setCheckpointDir to a SHARED " +
+                "path (a driver-local tmpdir is only correct in local mode)")
             spark.sparkContext.setCheckpointDir(new java.io.File(
               System.getProperty("java.io.tmpdir"), "graft_cc_checkpoint").getAbsolutePath)
+          }
           val cp = labels.checkpoint()
           labels.unpersist()
           labels = cp

@@ -944,13 +944,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bpe.encodeWord("standing", ranks).toSeq === Seq("st", "and", "in", "g"))
     assert(Bpe.encodeWord("x", ranks).toSeq === Seq("x"))
     assert(Bpe.encodeWord("", ranks).toSeq === Seq.empty)
-    // randomized words over the merge alphabet: greedy == sequential replay
+    // the DuckDB oracle's EXACT semantics: literal string replace over the
+    // 0x01-bounded form, left-to-right non-overlapping, applied TWICE per
+    // rank (one replace pass consumes the shared boundary between adjacent
+    // occurrences — 'inin' merges only its first 'in' in a single pass)
+    def stringReplay(word: String): Seq[String] = {
+      val sep = 1.toChar.toString
+      var s = sep + word.map(String.valueOf(_)).mkString(sep) + sep
+      Bpe.FixtureMerges.foreach { case (a, b) =>
+        val pat = sep + a + sep + b + sep
+        val rep = sep + a + b + sep
+        s = s.replace(pat, rep)
+        s = s.replace(pat, rep)
+      }
+      s.split(1.toChar).filter(_.nonEmpty).toSeq
+    }
+    // adjacency regression: runs of the same merge pair (the case a single
+    // replace pass gets wrong)
+    Seq("inin", "ininin", "inininin", "thethe", "thethethe", "erer", "stinstin")
+      .foreach { w =>
+        assert(Bpe.encodeWord(w, ranks).toSeq === sequential(w), s"list replay on '$w'")
+        assert(Bpe.encodeWord(w, ranks).toSeq === stringReplay(w), s"string replay on '$w'")
+      }
+    // randomized words over the merge alphabet: greedy == BOTH replays
     val rnd = new scala.util.Random(17)
     val chars = "theinandorst"
     (0 until 500).foreach { _ =>
       val word = (0 until 1 + rnd.nextInt(14)).map(_ => chars(rnd.nextInt(chars.length))).mkString
       assert(Bpe.encodeWord(word, ranks).toSeq === sequential(word),
         s"greedy != sequential on '$word'")
+      assert(Bpe.encodeWord(word, ranks).toSeq === stringReplay(word),
+        s"greedy != string replay on '$word'")
     }
     // DataFrame surface: pre-tokens encode independently and concatenate
     import spark.implicits._
