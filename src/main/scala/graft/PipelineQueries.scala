@@ -816,6 +816,37 @@ object PipelineQueries {
     } finally withBpe.unpersist()
   }
 
+  /** PII redaction (`q_pii_redact`): the scrubbing pass every training
+    * corpus runs — URL / email / long-number detection and typed-sentinel
+    * rewriting ([[TextPipeline.withPiiRedaction]], pure map-side codegen'd
+    * regexes shared verbatim with the oracle). The fixture prose is clean,
+    * so PII is PLANTED deterministically (the embeddingNearDups
+    * convention): every 10th doc gains one email, one URL and one
+    * account-shaped number derived from its id, and DuckDB rebuilds the
+    * same augmentation — every count and the total redacted length are
+    * exact, data-dependent cells. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val aug = d.withColumn("text",
+      when(col("doc_id") % 10 === 0,
+        concat(coalesce(col("text"), lit("")), lit(" user"),
+          col("doc_id").cast("string"), lit("@example.com http://ex.com/"),
+          col("doc_id").cast("string"), lit(" 90000000"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+    TextPipeline.withPiiRedaction(aug)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_urls") + col("n_emails") + col("n_longnums") > 0, 1L)
+          .otherwise(0L)).as("n_pii_docs"),
+        sum(col("n_urls")).as("n_urls"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_longnums")).as("n_longnums"),
+        sum(length(col("redacted")).cast("long")).as("redacted_len"))
+      .orderBy(col("source"))
+  }
+
   /** Multimodal pipeline with REAL decode: synthetic-but-real PNG/WAV/frame
     * payloads -> batched decode (mapPartitions; javax.imageio +
     * javax.sound.sampled) -> per-(source, media_type) stats. The decoded

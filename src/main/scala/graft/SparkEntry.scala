@@ -93,6 +93,9 @@ object SparkEntry {
     // the complete text-to-trainer path: regex pre-tokens -> BPE merges ->
     // vocab ids -> packed sequences, replayed end-to-end by DuckDB
     "q_text_to_sequences" -> (PipelineQueries.textToSequences _),
+    // PII scrubbing: URL/email/long-number detection + sentinel rewrite
+    // (planted deterministic PII; shared-dialect regexes)
+    "q_pii_redact" -> (PipelineQueries.piiRedact _),
     // exact corpus vocabulary (count + document frequency, >= 1% of mass)
     "q_vocab_build" -> ((s: SparkSession, d: String) =>
       PipelineQueries.vocabBuild(s, d)),
@@ -489,6 +492,29 @@ object SparkEntry {
           "(a,b) -> (a*1000003+b) % 2147483647) AS offsets_hash, " +
           "CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_size " +
           "FROM seqs GROUP BY source, shard, seq_id ORDER BY source, shard, seq_id"),
+      // PII redaction: DuckDB rebuilds the identical planted augmentation,
+      // then runs the SAME three regexes in the SAME URL -> EMAIL -> NUM
+      // order (counts taken before each class's own replacement); the
+      // total redacted length pins the rewritten text itself
+      "q_pii_redact" ->
+        ("WITH a AS (SELECT doc_id, source, CASE WHEN doc_id % 10 = 0 THEN " +
+          "coalesce(text, '') || ' user' || CAST(doc_id AS VARCHAR) || '@example.com http://ex.com/' || " +
+          "CAST(doc_id AS VARCHAR) || ' 90000000' || CAST(doc_id AS VARCHAR) " +
+          "ELSE coalesce(text, '') END AS t FROM documents), " +
+          "r1 AS (SELECT source, CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls, " +
+          "regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g') AS t1 FROM a), " +
+          "r2 AS (SELECT source, n_urls, " +
+          "CAST(len(regexp_extract_all(t1, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails, " +
+          "regexp_replace(t1, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g') AS t2 FROM r1), " +
+          "r3 AS (SELECT source, n_urls, n_emails, " +
+          "CAST(len(regexp_extract_all(t2, '[0-9]{9,}')) AS BIGINT) AS n_longnums, " +
+          "regexp_replace(t2, '[0-9]{9,}', '<NUM>', 'g') AS t3 FROM r2) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(count(CASE WHEN n_urls + n_emails + n_longnums > 0 THEN 1 END) AS BIGINT) AS n_pii_docs, " +
+          "CAST(sum(n_urls) AS BIGINT) AS n_urls, CAST(sum(n_emails) AS BIGINT) AS n_emails, " +
+          "CAST(sum(n_longnums) AS BIGINT) AS n_longnums, " +
+          "CAST(sum(len(t3)) AS BIGINT) AS redacted_len " +
+          "FROM r3 GROUP BY source ORDER BY source"),
       // vocabulary build: exact counts + document frequencies from raw
       // text, relative floor cnt/total >= 1/100 by cross-multiplication
       "q_vocab_build" ->

@@ -599,6 +599,36 @@ object TextPipeline {
   def regexTokens(textCol: Column): Column =
     regexp_extract_all(coalesce(textCol, lit("")), lit(BpeIshPattern), lit(0))
 
+  // ------------------------------------------------------ PII redaction
+
+  /** Redaction patterns, deliberately inside BOTH the Java-regex and RE2
+    * dialects (the [[BpeIshPattern]] rule) so the DuckDB oracle evaluates
+    * the SAME expressions: URLs first (they contain dots and digits that
+    * the later patterns would otherwise bite into), then emails, then
+    * long digit runs (phone/account-number-shaped). */
+  val UrlPattern: String = "https?://[^ ]+"
+  val EmailPattern: String = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+  val LongNumberPattern: String = "[0-9]{9,}"
+
+  /** PII scrubbing — the curation pass every training corpus runs: counts
+    * each PII class and rewrites the text with typed sentinels, URL ->
+    * EMAIL -> NUMBER order (codegen'd built-in regexp expressions, pure
+    * map-side projection; counts are taken BEFORE their class's
+    * replacement so the sentinels cannot self-match). Adds `n_urls`,
+    * `n_emails`, `n_longnums`, `redacted: string`. */
+  def withPiiRedaction(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = coalesce(col(textCol), lit(""))
+    val afterUrl = regexp_replace(t0, UrlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailPattern, "<EMAIL>")
+    docs
+      .withColumn("n_urls", size(regexp_extract_all(t0, lit(UrlPattern), lit(0))).cast("long"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(afterUrl, lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_longnums",
+        size(regexp_extract_all(afterEmail, lit(LongNumberPattern), lit(0))).cast("long"))
+      .withColumn("redacted", regexp_replace(afterEmail, LongNumberPattern, "<NUM>"))
+  }
+
   /** Heuristic language ID: character-class + marker-word voting.
     * Deterministic; intended as the pipeline shape (a real model slots in
     * at the same signature). */

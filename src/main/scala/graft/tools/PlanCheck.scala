@@ -79,6 +79,7 @@ object PlanCheck {
     show("mixtureSelectWeighted", graft.PipelineQueries.mixtureSelectWeighted(spark, dir))
     show("bpeTokenize", graft.PipelineQueries.bpeTokenize(spark, dir))
     show("textToSequences", graft.PipelineQueries.textToSequences(spark, dir))
+    show("piiRedact", graft.PipelineQueries.piiRedact(spark, dir))
     spark.stop()
   }
 }

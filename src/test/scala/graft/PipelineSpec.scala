@@ -1090,6 +1090,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("PII redaction: classes counted before their own replacement, sentinels never self-match") {
+    import spark.implicits._
+    val df = Seq(
+      ("plain words only", 1L),
+      ("mail me at bob.smith@corp.example now", 2L),
+      ("see http://x.y/a?b=123456789012 and c@d.e", 3L), // url swallows its digits
+      ("card 9876543210 twice 1234567890", 4L),
+      (null: String, 5L))
+      .toDF("text", "doc_id")
+    val out = TextPipeline.withPiiRedaction(df)
+      .select("doc_id", "n_urls", "n_emails", "n_longnums", "redacted").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(1L) === ((0L, 0L, 0L, "plain words only")))
+    assert(out(2L) === ((0L, 1L, 0L, "mail me at <EMAIL> now")))
+    // the URL (replaced first) swallows its own digits AND the '?b=' part;
+    // the standalone email still counts; no long number survives
+    assert(out(3L) === ((1L, 1L, 0L, "see <URL> and <EMAIL>")))
+    assert(out(4L) === ((0L, 0L, 2L, "card <NUM> twice <NUM>")))
+    assert(out(5L) === ((0L, 0L, 0L, "")))
+  }
+
   test("winnow overlap pairs: document-frequency cap suppresses hot boilerplate fingerprints") {
     import spark.implicits._
     // 20 docs all share fp 999 (a boilerplate header); docs 1 and 2 also
