@@ -67,14 +67,28 @@ object SketchQueries {
   def bloomProbeExact(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val t = Tokens.table(spark, dir)
-    val sketches = perSourceBloom(t)
+    // per-source sketches collected ONCE (one row per source by
+    // construction) and folded into the probe as a keyed literal pack: the
+    // former broadcast join attached the 8 KB sketch column to EVERY probe
+    // row, costing O(sketch bytes) of copy + content-verify per row (see
+    // BloomKeyedProbe's scaladoc; optimization guide §2.3 — move decisions
+    // to small rows, keep payloads out of the per-row path)
+    val packed = collectSketches(perSourceBloom(t), "sketch")
     exploded(t)
-      .join(broadcast(sketches), "source")
-      .where(GraftFunctions.bloomMightContain(col("sketch"), col("token")))
+      .where(GraftFunctions.bloomMightContainKeyed(packed, col("source"), col("token")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_present"))
       .orderBy(col("source"))
   }
+
+  /** Collect a (group key, serialized sketch) frame for the keyed probe
+    * pack — bounded by construction: one row per group (source / window). */
+  private def collectSketches(sk: DataFrame, sketchCol: String,
+      keyCols: Seq[String] = Seq("source")): Seq[(String, Array[Byte])] =
+    sk.select((keyCols.map(col) :+ col(sketchCol)): _*).collect().toSeq.map { r =>
+      val key = keyCols.indices.map(i => String.valueOf(r.get(i))).mkString("|")
+      key -> r.getAs[Array[Byte]](keyCols.length)
+    }
 
   /** The 128-BIT HASH PATH under the driver gate: k=11, log2l=12 needs
     * 6*11+12 = 78 hash bits, so build and probe run through
@@ -86,11 +100,13 @@ object SketchQueries {
     val cfg128 = BloomConfig(K0, K1, k = 11, log2l = 12)
     require(!cfg128.hash64Enough, "query must exercise the 128-bit path")
     val t = Tokens.table(spark, dir)
-    val sketches = t.groupBy(col("source"))
-      .agg(udaf(new BloomTokensAgg(cfg128), tokensEnc)(col("tokens")).as("sketch"))
+    // keyed literal pack instead of the sketch-column broadcast join — the
+    // 128-bit config's 32 KB filters made the per-row copy+verify cost of
+    // the join path 4x the 64-bit twin's (see bloomProbeExact)
+    val packed = collectSketches(t.groupBy(col("source"))
+      .agg(udaf(new BloomTokensAgg(cfg128), tokensEnc)(col("tokens")).as("sketch")), "sketch")
     exploded(t)
-      .join(broadcast(sketches), "source")
-      .where(GraftFunctions.bloomMightContain(col("sketch"), col("token")))
+      .where(GraftFunctions.bloomMightContainKeyed(packed, col("source"), col("token")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_present"))
       .orderBy(col("source"))
@@ -107,11 +123,14 @@ object SketchQueries {
     graft.plans.NativeAggs.register(spark)
     GraftFunctions.register(spark)
     val t = Tokens.table(spark, dir)
-    val sketches = t.groupBy(col("source"))
+    // keyed literal pack instead of the sketch-column broadcast join (see
+    // bloomProbeExact) — the fused struct's bloom member is extracted once
+    // per source at collect time, not per probe row
+    val packed = collectSketches(t.groupBy(col("source"))
       .agg(graft.plans.NativeAggs.fusedTokensNative(col("tokens")).as("sk"))
+      .select(col("source"), col("sk.bloom").as("sketch")), "sketch")
     exploded(t)
-      .join(broadcast(sketches), "source")
-      .where(GraftFunctions.bloomMightContain(col("sk.bloom"), col("token")))
+      .where(GraftFunctions.bloomMightContainKeyed(packed, col("source"), col("token")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_present"))
       .orderBy(col("source"))
@@ -187,16 +206,35 @@ object SketchQueries {
       .agg(bloomTokensUdaf(col("tokens")).as("partial"))
       .groupBy(col("source"))
       .agg(bloomMergeUdaf(col("partial")).as("salted_sketch"))
+    // equivalence rows collected ONCE (one per source); the probe runs
+    // against the keyed literal pack instead of carrying the salted sketch
+    // column through a broadcast join (see bloomProbeExact), and the
+    // per-source equality boolean joins back onto the group-count-sized
+    // aggregate — min(bool) over a group whose boolean is constant per
+    // source is the boolean itself
     val equiv = salted.join(direct, "source")
       .select(col("source"),
         (col("salted_sketch") === col("direct_sketch")).as("salted_equals_direct"),
         col("salted_sketch"))
+      .collect()
+    val packed = equiv.toSeq.map(r => r.getString(0) -> r.getAs[Array[Byte]](2))
+    val boolRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(equiv.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getBoolean(1))): _*)
+    val bools = spark.createDataFrame(boolRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        // nullable like the min(bool) aggregate it replaces, so the
+        // written parquet schema stays optional-boolean
+        org.apache.spark.sql.types.StructField("salted_equals_direct",
+          org.apache.spark.sql.types.BooleanType, nullable = true))))
     exploded(t)
-      .join(broadcast(equiv), "source")
-      .where(GraftFunctions.bloomMightContain(col("salted_sketch"), col("token")))
+      .where(GraftFunctions.bloomMightContainKeyed(packed, col("source"), col("token")))
       .groupBy(col("source"))
-      .agg(min(col("salted_equals_direct")).as("salted_equals_direct"),
-        count(lit(1)).as("n_present"))
+      .agg(count(lit(1)).as("n_present"))
+      .join(broadcast(bools), "source")
+      .select(col("source"), col("salted_equals_direct"), col("n_present"))
       .orderBy(col("source"))
   }
 
@@ -629,11 +667,13 @@ object SketchQueries {
     val cfg = graft.jobs.SketchJob.DefaultConfig
     graft.jobs.SketchJob.runIncrement(spark, t, ckpt, cfg, failAfterBuckets = Some(5))
     graft.jobs.SketchJob.runIncrement(spark, t, ckpt, cfg) // resume the rest
-    val fin = graft.jobs.SketchJob.finalizeSketches(spark, ckpt, cfg)
-      .select(col("source"), col("bloom"))
+    // finalized sketches collected ONCE (one per source) and probed via the
+    // keyed literal pack (see bloomProbeExact)
+    val packed = collectSketches(
+      graft.jobs.SketchJob.finalizeSketches(spark, ckpt, cfg)
+        .select(col("source"), col("bloom")), "bloom")
     exploded(t)
-      .join(broadcast(fin), "source")
-      .where(GraftFunctions.bloomMightContain(col("bloom"), col("token")))
+      .where(GraftFunctions.bloomMightContainKeyed(packed, col("source"), col("token")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_present"))
       .orderBy(col("source"))

@@ -179,6 +179,179 @@ case class BloomMightContain(left: Expression, right: Expression, k0: Long, k1: 
     copy(left = newLeft, right = newRight)
 }
 
+/** Codec for a PACK of keyed serialized filters — the foldable literal the
+  * keyed probe expression ([[BloomKeyedProbe]]) carries: `[int32 n]` then
+  * per entry `[int32 keyLen][utf8 key][int32 filterLen][filter bytes]`,
+  * big-endian. Collected once on the driver (one entry per group — the
+  * per-source / per-window sketch tables are group-count-sized by
+  * construction), folded into the plan as ONE binary literal, decoded once
+  * per plan instance. */
+object BloomFilterPack {
+  def encode(filters: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val keyBytes = filters.map { case (k, v) =>
+      (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), v)
+    }
+    val total = 4 + keyBytes.map { case (k, v) => 8 + k.length + v.length }.sum
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(filters.length)
+    keyBytes.foreach { case (k, v) =>
+      bb.putInt(k.length); bb.put(k); bb.putInt(v.length); bb.put(v)
+    }
+    bb.array()
+  }
+
+  def decode(blob: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val n = bb.getInt()
+    require(n >= 0, s"filter pack: negative entry count $n")
+    (0 until n).map { _ =>
+      val k = new Array[Byte](bb.getInt()); bb.get(k)
+      val v = new Array[Byte](bb.getInt()); bb.get(v)
+      (new String(k, java.nio.charset.StandardCharsets.UTF_8), v)
+    }
+  }
+}
+
+/** Keyed probe `graft_bloom_might_contain_keyed(pack, key, elem)` — the
+  * probe-side companion of [[BloomMightContain]] for PER-GROUP sketches.
+  *
+  * Why it exists (optimization round, guide §2.3 "shuffle keys and metadata
+  * instead of payloads"): probing per-group filters used to ride a
+  * broadcast join that attached the serialized sketch COLUMN to every probe
+  * row — each row then re-extracted an 8-32 KB byte array from the joined
+  * row and content-verified it against the expression cache
+  * (`Arrays.equals`), making every probed row cost O(sketch bytes) of pure
+  * memory traffic. With group counts bounded by construction (<= #sources,
+  * <= #windows), the sketches are instead collected once, packed into ONE
+  * foldable binary literal, deserialized ONCE per plan instance into a
+  * hash table, and the per-row work drops to one short-string hash lookup
+  * plus the O(1) one-cache-line probe — no join, no per-row byte copies.
+  *
+  * A missing or empty-payload entry yields NULL (the family's
+  * empty-payload convention, plans.EmptyNull) — in a WHERE clause that
+  * filters exactly like the inner join it replaces. */
+case class BloomKeyedProbe(pack: Expression, key: Expression, elem: Expression,
+    k0: Long, k1: Long) extends TernaryExpression {
+
+  override def first: Expression = pack
+  override def second: Expression = key
+  override def third: Expression = elem
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bloom_might_contain_keyed"
+
+  private def expectedTag: Long = elem.dataType match {
+    case IntegerType => BlockedBloom.TypeTag.Int
+    case LongType => BlockedBloom.TypeTag.Long
+    case StringType => BlockedBloom.TypeTag.String
+    case t => throw new IllegalStateException(s"unreachable: checked type $t")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (pack.dataType != BinaryType || !pack.foldable)
+      TypeCheckResult.TypeCheckFailure("pack argument must be a foldable BINARY filter pack")
+    else if (key.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"key argument must be STRING, got ${key.dataType}")
+    else elem.dataType match {
+      case IntegerType | LongType | StringType =>
+        loadedTable match {
+          case scala.util.Left(msg) => TypeCheckResult.TypeCheckFailure(msg)
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
+      case t => TypeCheckResult.TypeCheckFailure(s"element type $t not supported (int/bigint/string)")
+    }
+
+  /** Pack decoded + every filter loaded ONCE per plan instance; every
+    * validation / type-tag failure surfaces at ANALYSIS (Left), never from
+    * generated code (the BloomMightContain rule: a throwing doGenCode loses
+    * whole-stage codegen to the swallowed-exception fallback). Empty
+    * payloads load as null entries -> NULL probes. */
+  @transient private lazy val loadedTable:
+      Either[String, java.util.HashMap[UTF8String, LoadedBloomFilter]] =
+    if (!childrenResolved || !pack.foldable) scala.util.Left("pack not foldable")
+    else {
+      val blob = pack.eval(null)
+      if (blob == null) scala.util.Left("filter pack must not be NULL")
+      else
+        try {
+          val entries = BloomFilterPack.decode(blob.asInstanceOf[Array[Byte]])
+          val m = new java.util.HashMap[UTF8String, LoadedBloomFilter](entries.size * 2)
+          entries.foreach { case (k, bytes) =>
+            m.put(UTF8String.fromString(k),
+              if (bytes.isEmpty) null
+              else LoadedBloomFilter.loadTyped(k0, k1, bytes, expectedTag))
+          }
+          scala.util.Right(m)
+        } catch {
+          case e: IllegalArgumentException => scala.util.Left(e.getMessage)
+        }
+    }
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, LoadedBloomFilter] =
+    loadedTable match {
+      case scala.util.Right(m) => m
+      case scala.util.Left(msg) => throw new IllegalArgumentException(msg)
+    }
+
+  /** Null-boxed probes: Java `Boolean` so a missing/empty entry can yield
+    * SQL NULL from both eval and generated code through one call. */
+  def probeKeyedInt(k: UTF8String, x: Int): java.lang.Boolean = {
+    val f = table.get(k)
+    if (f == null) null else java.lang.Boolean.valueOf(f.containsInt(x))
+  }
+  def probeKeyedLong(k: UTF8String, x: Long): java.lang.Boolean = {
+    val f = table.get(k)
+    if (f == null) null else java.lang.Boolean.valueOf(f.containsLong(x))
+  }
+  def probeKeyedUTF8(k: UTF8String, s: UTF8String): java.lang.Boolean = {
+    val f = table.get(k)
+    if (f == null) null else java.lang.Boolean.valueOf(f.containsUTF8(s))
+  }
+
+  private def probeMethod: String = elem.dataType match {
+    case IntegerType => "probeKeyedInt"
+    case LongType => "probeKeyedLong"
+    case StringType => "probeKeyedUTF8"
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val k = key.eval(input)
+    if (k == null) return null
+    val e = elem.eval(input)
+    if (e == null) return null
+    val r = elem.dataType match {
+      case IntegerType => probeKeyedInt(k.asInstanceOf[UTF8String], e.asInstanceOf[Int])
+      case LongType => probeKeyedLong(k.asInstanceOf[UTF8String], e.asInstanceOf[Long])
+      case StringType => probeKeyedUTF8(k.asInstanceOf[UTF8String], e.asInstanceOf[UTF8String])
+    }
+    if (r == null) null else r.booleanValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("graftKeyedProbe", this, classOf[BloomKeyedProbe].getName)
+    val keyGen = key.genCode(ctx)
+    val elemGen = elem.genCode(ctx)
+    val boxed = ctx.freshName("boxedProbe")
+    ev.copy(code =
+      code"""
+        ${keyGen.code}
+        ${elemGen.code}
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;
+        if (!${keyGen.isNull} && !${elemGen.isNull}) {
+          java.lang.Boolean $boxed = $selfRef.$probeMethod(${keyGen.value}, ${elemGen.value});
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $boxed.booleanValue();
+          }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(pack = newFirst, key = newSecond, elem = newThird)
+}
+
 /** Native scalar `graft_sip_hash64(elem [, k0, k1])` — the library's keyed
   * hash exposed to SQL (reference `siphash64`, `Internal.hs:395`); useful
   * for bucketing/salting expressions that must agree with sketch contents. */
@@ -309,6 +482,7 @@ case class BloomSetOp(left: Expression, right: Expression, k0: Long, k1: Long,
 object GraftFunctions {
 
   val BloomMightContainName = "graft_bloom_might_contain"
+  val BloomKeyedProbeName = "graft_bloom_might_contain_keyed"
   val SipHash64Name = "graft_sip_hash64"
   val DoubleBitsName = "graft_double_bits"
   val BloomIntersectName = "graft_bloom_intersect"
@@ -332,6 +506,14 @@ object GraftFunctions {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case _ => None
+  }
+
+  private[plans] def keyedBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(p, k, e) => BloomKeyedProbe(p, k, e, Keys.DefaultK0, Keys.DefaultK1)
+    case Seq(p, k, e, kk0, kk1) if keyLit(kk0).isDefined && keyLit(kk1).isDefined =>
+      BloomKeyedProbe(p, k, e, keyLit(kk0).get, keyLit(kk1).get)
+    case _ => throw new IllegalArgumentException(
+      s"$BloomKeyedProbeName expects (pack BINARY, key STRING, elem, [k0 BIGINT, k1 BIGINT])")
   }
 
   private[plans] def builder(exprs: Seq[Expression]): Expression = exprs match {
@@ -361,6 +543,7 @@ object GraftFunctions {
     * other. */
   private[plans] val nativeExpressions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     (BloomMightContainName, classOf[BloomMightContain], builder _),
+    (BloomKeyedProbeName, classOf[BloomKeyedProbe], keyedBuilder _),
     (SipHash64Name, classOf[SipHash64Expr], sipBuilder _),
     (DoubleBitsName, classOf[DoubleBitsExpr], doubleBitsBuilder _),
     (BloomIntersectName, classOf[BloomSetOp], setOpBuilder(intersection = true) _),
@@ -466,6 +649,15 @@ object GraftFunctions {
   /** Column-API entry points (require `register(spark)` once per session). */
   def bloomMightContain(sketch: Column, elem: Column): Column =
     org.apache.spark.sql.functions.call_function(BloomMightContainName, sketch, elem)
+
+  /** Keyed probe over a driver-collected (group key -> serialized filter)
+    * table — packed into one foldable binary literal (see
+    * [[BloomKeyedProbe]] for why this beats joining the sketch column onto
+    * the probe stream). */
+  def bloomMightContainKeyed(filters: Seq[(String, Array[Byte])],
+      key: Column, elem: Column): Column =
+    org.apache.spark.sql.functions.call_function(BloomKeyedProbeName,
+      org.apache.spark.sql.functions.lit(BloomFilterPack.encode(filters)), key, elem)
 
   def sipHash64(elem: Column): Column =
     org.apache.spark.sql.functions.call_function(SipHash64Name, elem)

@@ -105,16 +105,21 @@ object StreamingSketch {
       } finally query.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
 
-    val windows = spark.table(sinkName).select(
+    // finished-window sketches collected ONCE (<= #windows x #sources rows)
+    // and folded into the probe as a keyed literal pack — the former
+    // broadcast join attached the 8 KB bloom column to every probe row
+    // (O(sketch bytes) copy + content-verify per row; see BloomKeyedProbe)
+    val packed = spark.table(sinkName).select(
       ((col("window.start").cast("long") - epoch0) / 60).cast("long").as("win"),
-      col("source"), col("bloom"))
+      col("source"), col("bloom")).collect().toSeq
+      .map(r => s"${r.getLong(0)}|${r.getString(1)}" -> r.getAs[Array[Byte]](2))
     graft.plans.GraftFunctions.registerExpressions(spark)
     val probe = t.select(
       ((col("doc_id").cast("long") % 600) / 60).cast("long").as("win"),
       col("source"), explode(col("tokens")).as("token"))
     probe
-      .join(broadcast(windows), Seq("win", "source"))
-      .where(graft.plans.GraftFunctions.bloomMightContain(col("bloom"), col("token")))
+      .where(graft.plans.GraftFunctions.bloomMightContainKeyed(packed,
+        concat(col("win").cast("string"), lit("|"), col("source")), col("token")))
       .groupBy(col("win"), col("source"))
       .agg(count(lit(1)).as("n_present"))
       .orderBy(col("win"), col("source"))
@@ -198,11 +203,16 @@ object StreamingSketch {
       } finally query.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
 
-    val windows = spark.table(sinkName)
+    // emitted-window sketches collected ONCE and probed via the keyed
+    // literal pack (see replayBloomWindows); a probe row whose (win,
+    // source) was never emitted yields NULL and filters out exactly like
+    // the inner join it replaces
+    val packed = spark.table(sinkName)
       .where(col("source") =!= "zz_sentinel")
       .select(
         ((col("window.start").cast("long") - epoch0) / 60).cast("long").as("win"),
-        col("source"), col("bloom"))
+        col("source"), col("bloom")).collect().toSeq
+      .map(r => s"${r.getLong(0)}|${r.getString(1)}" -> r.getAs[Array[Byte]](2))
     graft.plans.GraftFunctions.registerExpressions(spark)
     val probe = t
       .where(col("doc_id").cast("long") % 600 >= 300)
@@ -210,8 +220,8 @@ object StreamingSketch {
         ((col("doc_id").cast("long") % 600) / 60).cast("long").as("win"),
         col("source"), explode(col("tokens")).as("token"))
     probe
-      .join(broadcast(windows), Seq("win", "source"))
-      .where(graft.plans.GraftFunctions.bloomMightContain(col("bloom"), col("token")))
+      .where(graft.plans.GraftFunctions.bloomMightContainKeyed(packed,
+        concat(col("win").cast("string"), lit("|"), col("source")), col("token")))
       .groupBy(col("win"), col("source"))
       .agg(count(lit(1)).as("n_present"))
       .orderBy(col("win"), col("source"))
