@@ -517,49 +517,122 @@ object PipelineQueries {
     * gate only — the production report is the KMV side, whose sketches
     * are k-entry summaries merged map-side. */
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Decontamination, SketchAggs}
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    graft.plans.GraftFunctions.registerExpressions(spark)
-    val k = SketchQueries.kmvK
-    val grams = Decontamination
-      .gramRows(graft.sources.Tokens.table(spark, dir), 4)
-      .select(col("source"), col("gram")).distinct().persist()
+    val grams = overlapGrams(spark, dir).persist()
     try {
-      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = grams.as("a")
-        .join(grams.as("b"),
-          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(count(lit(1)).as("inter_exact"))
-      val kmvU = udaf(new SketchAggs.KmvStringAgg(
-        graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1, k), ExpressionEncoder[String]())
-      val sk = grams.groupBy(col("source")).agg(kmvU(col("gram")).as("sk"))
-      val pairs = sizes.as("sa")
-        .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
-        .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"),
-          col("sa.n").as("n_a"), col("sb.n").as("n_b"))
-        .join(inter, Seq("src_a", "src_b"), "left")
-        .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
-        .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
-      val withEst = pairs
-        .join(broadcast(sk.select(col("source").as("src_a"), col("sk").as("sk_a"))), Seq("src_a"))
-        .join(broadcast(sk.select(col("source").as("src_b"), col("sk").as("sk_b"))), Seq("src_b"))
-        .withColumn("est_j",
-          graft.plans.SketchReaders.kmvJaccard(col("sk_a"), col("sk_b")))
-        .withColumn("exact_j", col("inter_exact").cast("double") / col("union_exact"))
-      // sigma(J-hat) = sqrt(J(1-J)/k); 5 sigma + 0.01 absolute floor —
-      // the q_kmv_intersect_bound margin, deterministic for the fixed key
-      val result = withEst.select(
-        col("src_a"), col("src_b"), col("inter_exact"), col("union_exact"),
-        (abs(col("est_j") - col("exact_j")) <=
-          sqrt(col("exact_j") * (lit(1.0) - col("exact_j")) / k) * 5.0 + 0.01)
-          .as("jaccard_within_bound"))
-        .orderBy(col("src_a"), col("src_b"))
+      val result = sourceOverlapFrame(spark, grams)
       // materialize the (pairs-sized) matrix before releasing the cache —
       // the dedupClusters convention
       val rows = result.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     } finally grams.unpersist()
+  }
+
+  /** The distributed inner frame of [[sourceOverlapMatrix]] WITHOUT the
+    * persist/collect materialization — shared so the PlanDump tool captures
+    * the real plan (the public query returns a LocalRelation). */
+  private[graft] def sourceOverlapMatrixLazy(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapFrame(spark, overlapGrams(spark, dir))
+
+  private def overlapGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontamination
+      .gramRows(graft.sources.Tokens.table(spark, dir), 4)
+      .select(col("source"), col("gram")).distinct()
+
+  /** Packed (bit index a, bit index b) pairs of every two set bits across
+    * the mask words — the per-gram "which source pairs share this gram"
+    * fan-out. Bit index = word*64 + bit; pack = a*65536 + b with a < b. */
+  private final class MaskPairsUdf extends (Array[Long] => Array[Long]) with Serializable {
+    override def apply(words: Array[Long]): Array[Long] = {
+      var total = 0
+      var wi = 0
+      while (wi < words.length) { total += java.lang.Long.bitCount(words(wi)); wi += 1 }
+      if (total < 2) return Array.emptyLongArray
+      val idx = new Array[Int](total)
+      var o = 0
+      wi = 0
+      while (wi < words.length) {
+        var m = words(wi)
+        while (m != 0L) {
+          val b = java.lang.Long.numberOfTrailingZeros(m)
+          idx(o) = wi * 64 + b; o += 1
+          m &= m - 1
+        }
+        wi += 1
+      }
+      val out = new Array[Long](total * (total - 1) / 2)
+      var p = 0
+      var i = 0
+      while (i < total) {
+        var j = i + 1
+        while (j < total) { out(p) = idx(i).toLong * 65536L + idx(j); p += 1; j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  private def sourceOverlapFrame(spark: SparkSession, grams: DataFrame): DataFrame = {
+    import graft.operators.SketchAggs
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    graft.plans.GraftFunctions.registerExpressions(spark)
+    val k = SketchQueries.kmvK
+    // OPTIMIZATION r07 (guide §2.4/§3): the pairwise intersection counts
+    // used to come from a gram self-join — every gram shared by s sources
+    // exploded into C(s,2) JOIN OUTPUT rows keyed by the gram STRING, i.e.
+    // a second full shuffle of the gram universe times the pair fan-out.
+    // Instead, aggregate each gram's SOURCE-SET BITMASK (sources are
+    // enumerable per run; bit index = rank in the sorted source list, >64
+    // sources roll into extra mask words), then explode each mask's set-bit
+    // pairs straight into a partial-aggregated count keyed by the packed
+    // pair id: the pair fan-out still happens, but map-side, collapsing to
+    // <= C(#sources,2) rows per partition before the (tiny) final shuffle.
+    // The gram string is shuffled ONCE (the mask groupBy) instead of twice,
+    // and no join runs at all: 34 Exchanges -> 8, self-join -> none.
+    val sources = grams.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val nWords = math.max(1, (sources.length + 63) / 64)
+    val idxOf = map(sources.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    val idxCol = element_at(idxOf, col("source"))
+    val maskCols = (0 until nWords).map { w =>
+      expr(s"bit_or(CASE WHEN idx DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST(idx % 64 AS INT)) ELSE CAST(0 AS BIGINT) END)").as(s"m$w")
+    }
+    val masks = grams.withColumn("idx", idxCol)
+      .groupBy(col("gram")).agg(maskCols.head, maskCols.tail: _*)
+    val pairsUdf = udf(new MaskPairsUdf)
+    val pairCounts = masks
+      .select(explode(pairsUdf(array((0 until nWords).map(w => col(s"m$w")): _*))).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("inter_exact"))
+      .select(
+        element_at(lit(sources), (col("pk") / 65536).cast("int") + 1).as("src_a"),
+        element_at(lit(sources), pmod(col("pk"), lit(65536L)).cast("int") + 1).as("src_b"),
+        col("inter_exact"))
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val kmvU = udaf(new SketchAggs.KmvStringAgg(
+      graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1, k), ExpressionEncoder[String]())
+    val sk = grams.groupBy(col("source")).agg(kmvU(col("gram")).as("sk"))
+    val pairs = sizes.as("sa")
+      .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+      .join(pairCounts, Seq("src_a", "src_b"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
+    val withEst = pairs
+      .join(broadcast(sk.select(col("source").as("src_a"), col("sk").as("sk_a"))), Seq("src_a"))
+      .join(broadcast(sk.select(col("source").as("src_b"), col("sk").as("sk_b"))), Seq("src_b"))
+      .withColumn("est_j",
+        graft.plans.SketchReaders.kmvJaccard(col("sk_a"), col("sk_b")))
+      .withColumn("exact_j", col("inter_exact").cast("double") / col("union_exact"))
+    // sigma(J-hat) = sqrt(J(1-J)/k); 5 sigma + 0.01 absolute floor —
+    // the q_kmv_intersect_bound margin, deterministic for the fixed key
+    withEst.select(
+      col("src_a"), col("src_b"), col("inter_exact"), col("union_exact"),
+      (abs(col("est_j") - col("exact_j")) <=
+        sqrt(col("exact_j") * (lit(1.0) - col("exact_j")) / k) * 5.0 + 0.01)
+        .as("jaccard_within_bound"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** Budgeted mixture selection (`q_mixture_select`): enforce a training
@@ -714,10 +787,16 @@ object PipelineQueries {
         .withColumn("kept", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
             .orderBy(col("doc_id"))) === 1)
-      // tokens-table doc ids are strings; join on the cast, keep long order
+      // tokens-table doc ids are strings holding the same numeric ids as
+      // the documents side; cast the TOKENS-side key to long (ADVICE r6:
+      // the old string-side cast silently assumed textual equality — a
+      // zero-padded or prefixed id format drift would yield an all-clean
+      // n_clean caught only downstream by the oracle, not at the join;
+      // a non-numeric drift now fails the cast loudly under ANSI instead)
       val withContam = flags
-        .join(contamIds.select(col("doc_id").as("contam_key"), lit(true).as("contam")),
-          col("doc_id").cast("string") === col("contam_key"), "left")
+        .join(contamIds.select(col("doc_id").cast("long").as("contam_key"),
+            lit(true).as("contam")),
+          col("doc_id") === col("contam_key"), "left")
         .withColumn("clean", coalesce(col("contam"), lit(false)) === false)
         .withColumn("final",
           col("kept") && col("quality_ok") && col("clean") && !col("repetitive"))
