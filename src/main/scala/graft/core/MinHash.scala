@@ -61,6 +61,89 @@ object MinHash {
     sig
   }
 
+  /** Signature over the word n-gram shingles of `words` — value-identical
+    * to `signature(k0, k1, wordShingles(words, n), h)` but allocation-light
+    * (the optimization-round hot-kernel rule): each word's UTF-8 bytes are
+    * materialized ONCE, every shingle is assembled into one reusable
+    * scratch buffer and hashed with the tuple-free [[SipHash.hash128Into]].
+    * Byte-identity with the string path holds because U+0000 (the shingle
+    * joiner) encodes as the single byte 0x00 in standard UTF-8, so the
+    * joined string's UTF-8 bytes ARE word bytes + 0x00 separators. The
+    * tuple-per-shingle + string-per-shingle + bytes-per-shingle churn of
+    * the iterator path was the LSH bench phase's dominant allocation
+    * (1M docs x 28 shingles x 3 allocations per lap). */
+  def signatureOfWords(k0: Long, k1: Long, words: Array[String], n: Int, h: Int): Array[Long] = {
+    val sig = emptySignature(h)
+    if (words.length == 0) return sig
+    val wb = new Array[Array[Byte]](words.length)
+    var i = 0
+    var maxLen = 0
+    while (i < words.length) {
+      wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      maxLen += wb(i).length
+      i += 1
+    }
+    val eff = math.min(n, words.length) // < n words: one all-words shingle
+    val out = new Array[Long](2)
+    val buf = new Array[Byte](maxLen + words.length) // upper bound incl. joiners
+    val last = words.length - eff
+    var s = 0
+    while (s <= last) {
+      var len = 0
+      var j = 0
+      while (j < eff) {
+        if (j > 0) { buf(len) = 0; len += 1 }
+        val b = wb(s + j)
+        System.arraycopy(b, 0, buf, len, b.length)
+        len += b.length
+        j += 1
+      }
+      SipHash.hash128Into(k0, k1, buf, len, out)
+      addShingle(sig, out(1), out(0))
+      s += 1
+    }
+    sig
+  }
+
+  /** Distinct 64-bit shingle hashes in first-occurrence order —
+    * value-identical to
+    * `wordShingles(words, n).map(SipHash.hashString(k0, k1, _)).toArray.distinct`
+    * with the same scratch-buffer assembly as [[signatureOfWords]]. */
+  def shingleHashes64(k0: Long, k1: Long, words: Array[String], n: Int): Array[Long] = {
+    if (words.length == 0) return Array.emptyLongArray
+    val wb = new Array[Array[Byte]](words.length)
+    var i = 0
+    var maxLen = 0
+    while (i < words.length) {
+      wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      maxLen += wb(i).length
+      i += 1
+    }
+    val eff = math.min(n, words.length)
+    val buf = new Array[Byte](maxLen + words.length)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val last = words.length - eff
+    var s = 0
+    while (s <= last) {
+      var len = 0
+      var j = 0
+      while (j < eff) {
+        if (j > 0) { buf(len) = 0; len += 1 }
+        val b = wb(s + j)
+        System.arraycopy(b, 0, buf, len, b.length)
+        len += b.length
+        j += 1
+      }
+      seen.add(SipHash.hash64Range(k0, k1, buf, len))
+      s += 1
+    }
+    val res = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { res(o) = it.next().longValue(); o += 1 }
+    res
+  }
+
   /** Elementwise-min merge — signature of the union of the two sets. */
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     require(a.length == b.length, "minhash merge: size mismatch")

@@ -43,12 +43,18 @@ object SipHash {
   }
 
   /** SipHash-2-4 over raw bytes, 64-bit output. */
-  def hash64(k0: Long, k1: Long, data: Array[Byte]): Long = {
+  def hash64(k0: Long, k1: Long, data: Array[Byte]): Long =
+    hash64Range(k0, k1, data, data.length)
+
+  /** [[hash64]] over the first `len` bytes of `data` — lets callers hash
+    * out of a reusable scratch buffer without per-call array slicing
+    * (value-identical to `hash64(k0, k1, data.take(len))`). */
+  def hash64Range(k0: Long, k1: Long, data: Array[Byte], len: Int): Long = {
     var v0 = k0 ^ 0x736f6d6570736575L
     var v1 = k1 ^ 0x646f72616e646f6dL
     var v2 = k0 ^ 0x6c7967656e657261L
     var v3 = k1 ^ 0x7465646279746573L
-    val n = data.length
+    val n = len
     val end = n - (n % 8)
     var i = 0
     while (i < end) {
@@ -211,6 +217,67 @@ object SipHash {
     }
     val hi = v0 ^ v1 ^ v2 ^ v3
     (hi, lo)
+  }
+
+  /** [[hash128]] over the first `len` bytes of `data`, writing (hi, lo)
+    * into `out(0)`, `out(1)` — the allocation-free bulk variant (no Tuple2
+    * per call, no per-call array slice; value-identical to
+    * `hash128(k0, k1, data.take(len))`). The MinHash shingle loop calls
+    * this 10^8+ times per bench lap, where the tuple-returning form's
+    * allocation was pure GC pressure. */
+  def hash128Into(k0: Long, k1: Long, data: Array[Byte], len: Int, out: Array[Long]): Unit = {
+    var v0 = k0 ^ 0x736f6d6570736575L
+    var v1 = k1 ^ 0x646f72616e646f6dL ^ 0xee
+    var v2 = k0 ^ 0x6c7967656e657261L
+    var v3 = k1 ^ 0x7465646279746573L
+    val n = len
+    val end = n - (n % 8)
+    var i = 0
+    while (i < end) {
+      val m = le64(data, i)
+      v3 ^= m
+      var r = 0
+      while (r < 2) {
+        v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+        v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+        v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+        v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+        r += 1
+      }
+      v0 ^= m
+      i += 8
+    }
+    val b = tailBlock(data, end, n)
+    v3 ^= b
+    var r = 0
+    while (r < 2) {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+      r += 1
+    }
+    v0 ^= b
+    v2 ^= 0xee
+    r = 0
+    while (r < 4) {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+      r += 1
+    }
+    out(1) = v0 ^ v1 ^ v2 ^ v3 // lo
+    v1 ^= 0xdd
+    r = 0
+    while (r < 4) {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+      r += 1
+    }
+    out(0) = v0 ^ v1 ^ v2 ^ v3 // hi
   }
 
   /** 128-bit hash of an Int (canonical 4-byte LE encoding). */

@@ -257,7 +257,10 @@ object TextPipeline {
       if (text == null) MinHash.emptySignature(numHashes)
       else {
         val words = text.split(' ').filter(_.nonEmpty)
-        MinHash.signature(K0, K1, MinHash.wordShingles(words, shingleN), numHashes)
+        // allocation-light kernel (scratch-buffer shingles + tuple-free
+        // 128-bit hash) — value-identical to the iterator/string path,
+        // asserted by PipelineSpec; see MinHash.signatureOfWords
+        MinHash.signatureOfWords(K0, K1, words, shingleN, numHashes)
       }
     }
     docs.withColumn("sig", f(col(textCol)))
@@ -300,8 +303,9 @@ object TextPipeline {
       if (text == null) Array.empty[Long]
       else {
         val words = text.split(' ').filter(_.nonEmpty)
-        MinHash.wordShingles(words, shingleN)
-          .map(s => SipHash.hashString(K0, K1, s)).toArray.distinct
+        // same scratch-buffer kernel as the signature path; distinct in
+        // first-occurrence order, value-identical to the string map
+        MinHash.shingleHashes64(K0, K1, words, shingleN)
       }
     }
     val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
@@ -381,6 +385,22 @@ object TextPipeline {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 25, checkpointEvery: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
+    // checkpoint-dir precondition validated EAGERLY (ADVICE r6: the lazy
+    // check only fired at iteration `checkpointEvery`, after ~10 rounds of
+    // work on a misconfigured cluster). Local mode without a configured
+    // dir gets a process-tmpdir default HERE, once — note the files are
+    // NOT auto-deleted across runs (long-lived local apps should set
+    // spark.cleaner.referenceTracking.cleanCheckpoints or point
+    // setCheckpointDir at a managed path); on a cluster a SHARED dir
+    // (HDFS/S3) must be configured up front, the GraphFrames convention.
+    if (checkpointEvery > 0 && spark.sparkContext.getCheckpointDir.isEmpty) {
+      require(spark.sparkContext.isLocal,
+        "connectedComponents: long-diameter graphs need periodic reliable " +
+          "checkpoints; set spark.sparkContext.setCheckpointDir to a SHARED " +
+          "path (a driver-local tmpdir is only correct in local mode)")
+      spark.sparkContext.setCheckpointDir(new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_cc_checkpoint").getAbsolutePath)
+    }
     // Iterative plans re-reference each round's frame several times, so the
     // CATALYST plan would grow ~4x per round (analysis blows up long before
     // the data does). Each round is therefore cut over to an RDD-backed
@@ -430,23 +450,10 @@ object TextPipeline {
           // RELIABLE checkpoint, not localCheckpoint: a local checkpoint
           // pins executor storage that no caller-visible handle can ever
           // unpersist (it bypasses the CacheManager), breaking the
-          // leak-free convention this operator's tests assert. Reliable
-          // checkpoints need a SHARED filesystem, so the tmpdir default is
-          // only valid in local mode — on a cluster the caller must
-          // configure a checkpoint dir (HDFS/S3), the GraphFrames
-          // convention. The files are NOT auto-deleted: long-lived apps
-          // set spark.cleaner.referenceTracking.cleanCheckpoints or their
-          // own dir retention. Eager, and labels is cached, so the write
-          // reads the cache — one extra pass of one round every
-          // checkpointEvery rounds.
-          if (spark.sparkContext.getCheckpointDir.isEmpty) {
-            require(spark.sparkContext.isLocal,
-              "connectedComponents: long-diameter graphs need periodic reliable " +
-                "checkpoints; set spark.sparkContext.setCheckpointDir to a SHARED " +
-                "path (a driver-local tmpdir is only correct in local mode)")
-            spark.sparkContext.setCheckpointDir(new java.io.File(
-              System.getProperty("java.io.tmpdir"), "graft_cc_checkpoint").getAbsolutePath)
-          }
+          // leak-free convention this operator's tests assert. The
+          // checkpoint-dir precondition was validated at method entry.
+          // Eager, and labels is cached, so the write reads the cache —
+          // one extra pass of one round every checkpointEvery rounds.
           val cp = labels.checkpoint()
           labels.unpersist()
           labels = cp
