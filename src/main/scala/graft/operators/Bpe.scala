@@ -98,9 +98,21 @@ object Bpe {
     * would need a dedicated oracle before lifting this. */
   private def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    // constructive validity check (ADVICE r6): each constituent must be a
+    // single character or the concatenation produced by an earlier-ranked
+    // merge — the precondition the sequential/string-replay oracle
+    // equivalence rests on. An invalid future edit to FixtureMerges now
+    // fails HERE with the offending pair named, not as an opaque oracle
+    // mismatch at gate time.
+    val produced = new java.util.HashSet[String]()
     merges.zipWithIndex.foreach { case ((a, b), r) =>
       require(a.nonEmpty && b.nonEmpty, "BPE merge symbols must be non-empty")
       require(a != b, s"BPE merge ($a, $b): self-pairs are outside the SQL-replay contract")
+      def valid(s: String): Boolean = s.length == 1 || produced.contains(s)
+      require(valid(a) && valid(b),
+        s"BPE merge #$r ($a, $b): constituent ${if (valid(a)) b else a} is neither a " +
+          "single character nor the product of an earlier-ranked merge")
+      produced.add(a + b)
       m.put(a + " " + b, Integer.valueOf(r))
     }
     m

@@ -72,8 +72,16 @@ object MixtureSelection {
     graft.plans.GraftFunctions.registerExpressions(docs.sparkSession)
     val h = graft.plans.GraftFunctions.sipHash64(col("doc_id").cast("long"))
     val u = (shiftrightunsigned(h, 11) + lit(1L)).cast("double") / lit(9007199254740992.0)
+    // w <= 0 docs clamp to +Infinity — ordering LAST with zero sampling
+    // mass, as the weighted-selection scaladoc promises (ADVICE r6: an
+    // unclamped negative weight gave a negative key whose IEEE-754 bits
+    // sort FIRST and in reversed order, silently breaking the scan order
+    // and budgetScan's monotone-shard invariant; w == 0 already divided to
+    // +Inf, so only w < 0 changes, and the declared query filters w > 0)
     docs.withColumn("es_bits",
-      graft.plans.GraftFunctions.doubleBits(-log(u) / col(tokCol).cast("double")))
+      graft.plans.GraftFunctions.doubleBits(
+        when(col(tokCol).cast("double") <= 0.0, lit(Double.PositiveInfinity))
+          .otherwise(-log(u) / col(tokCol).cast("double"))))
   }
 
   /** The shared TWO-LEVEL distributed prefix scan: `shardCol` must be a
