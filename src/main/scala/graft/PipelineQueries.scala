@@ -831,8 +831,12 @@ object PipelineQueries {
       num: Long = 1L, den: Long = 100L): DataFrame = {
     import operators.MixtureSelection.dec
     require(den > 0 && num >= 0, s"frequency floor must satisfy num >= 0, den > 0, got $num/$den")
+    // explode_outer + not-null: one counting-kernel evaluation per doc
+    // (plain explode's inferred generate filter re-ran the UDF — the
+    // SketchQueries.exploded rule); pair elements are never null
     val counts = spark.read.parquet(s"$dir/documents.parquet")
-      .select(explode(TextPipeline.docTokenCounts(col("text"))).as("kv"))
+      .select(explode_outer(TextPipeline.docTokenCounts(col("text"))).as("kv"))
+      .where(col("kv").isNotNull)
       .select(col("kv._1").as("token"), col("kv._2").as("doc_cnt"))
       .groupBy(col("token"))
       .agg(sum(col("doc_cnt")).cast("long").as("cnt"), count(lit(1)).as("df"))

@@ -52,8 +52,20 @@ object SketchQueries {
   private def kllUdaf = udaf(new KllDoubleAgg(kllK), doubleEnc)
   private def tdigestUdaf = udaf(new TDigestDoubleAgg(tdigestDelta), doubleEnc)
 
+  /** (source, token) occurrence rows. `explode_outer` + not-null filter
+    * rather than plain `explode` (optimization r07): the optimizer's
+    * generate-filter inference plus filter/projection substitution made
+    * plain explode evaluate the WHOLE tokenization expression three times
+    * per document (once in the inferred `size(...) > 0 AND isnotnull(...)`
+    * filter, once in the project — measured 2x wall time, TokProbe);
+    * the outer variant skips the inference, and the cheap not-null filter
+    * on the exploded COLUMN drops the same rows (token arrays never hold
+    * null elements — the vocab map is total by construction; a null/empty
+    * array yields one null-token row that the filter removes, exactly the
+    * rows plain explode never emitted). */
   private def exploded(t: DataFrame): DataFrame =
-    t.select(col("source"), explode(col("tokens")).as("token"))
+    t.select(col("source"), explode_outer(col("tokens")).as("token"))
+      .where(col("token").isNotNull)
 
   /** Per-source Bloom sketches (the flagship build). */
   def perSourceBloom(t: DataFrame): DataFrame =
@@ -150,8 +162,10 @@ object SketchQueries {
     // released deterministically (round-3 VERDICT #3: persist() with no
     // unpersist() accumulated one cached RDD per invocation for the
     // session's lifetime — bench laps and the driver's repeated runs leak).
+    // explode_outer + not-null: one tokenize evaluation (see `exploded`)
     val buildSide = t.join(enDocIds, "doc_id")
-      .select(explode(col("tokens")).as("token")).distinct().persist()
+      .select(explode_outer(col("tokens")).as("token"))
+      .where(col("token").isNotNull).distinct().persist()
     try {
       // build the Bloom on the build side and ship it into the probe filter
       val sketchBytes = buildSide
@@ -181,7 +195,9 @@ object SketchQueries {
       .agg(bloomMergeUdaf(col("sketch")))
       .head().getAs[Array[Byte]](0)
     GraftFunctions.register(spark)
-    t.select(explode(col("tokens")).as("token")).distinct()
+    t.select(explode_outer(col("tokens")).as("token"))
+      .where(col("token").isNotNull) // one tokenize evaluation (see `exploded`)
+      .distinct()
       .where(GraftFunctions.bloomMightContain(lit(globalBytes), col("token")))
       .agg(count(lit(1)).as("n_present"))
   }
@@ -709,7 +725,8 @@ object SketchQueries {
     val capacity = 64
     val t = Tokens.table(spark, dir)
     val stream = t
-      .select(col("source"), col("doc_id"), explode(col("tokens")).as("token"))
+      .select(col("source"), col("doc_id"), explode_outer(col("tokens")).as("token"))
+      .where(col("token").isNotNull) // one tokenize evaluation (see `exploded`)
       .select(col("source"), keyBlowup(col("token"), col("doc_id")).as("key"))
     val hhUdaf = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
     val sk = stream.groupBy(col("source")).agg(hhUdaf(col("key")).as("sk"))
@@ -779,7 +796,8 @@ object SketchQueries {
     val capacity = 64
     val t = Tokens.table(spark, dir)
     val stream = t
-      .select(col("source"), col("doc_id"), explode(col("tokens")).as("token"))
+      .select(col("source"), col("doc_id"), explode_outer(col("tokens")).as("token"))
+      .where(col("token").isNotNull) // one tokenize evaluation (see `exploded`)
       .select(col("source"), col("doc_id"),
         keyBlowup(col("token"), col("doc_id")).as("key"))
     val perDoc = stream
@@ -815,12 +833,19 @@ object SketchQueries {
   def bigramHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val capacity = 64
     val t = Tokens.table(spark, dir)
-    val pairs = zip_with(
+    // < 2 tokens guarded INSIDE the expression (slice with negative
+    // length throws) so the whole pipeline is one expression evaluation:
+    // explode_outer + not-null replaces the old where(size >= 2) + plain
+    // explode, which re-evaluated the tokenize + zip_with tree three
+    // times per document (see `exploded`)
+    val pairs = when(size(col("tokens")) >= 2, zip_with(
       slice(col("tokens"), lit(1), size(col("tokens")) - 1),
       slice(col("tokens"), lit(2), size(col("tokens")) - 1),
-      (a, b) => a.cast("long") * lit(4294967296L) + b.cast("long"))
-    val big = t.where(size(col("tokens")) >= 2)
-      .select(col("source"), explode(pairs).as("key"))
+      (a, b) => a.cast("long") * lit(4294967296L) + b.cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    val big = t
+      .select(col("source"), explode_outer(pairs).as("key"))
+      .where(col("key").isNotNull)
     val hhUdaf = udaf(new HeavyHittersLongAgg(capacity), ExpressionEncoder[Long]())
     val sk = big.groupBy(col("source")).agg(hhUdaf(col("key")).as("sk"))
     val exact = big.groupBy(col("source"), col("key")).agg(count(lit(1)).as("cnt"))

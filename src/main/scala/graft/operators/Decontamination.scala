@@ -43,9 +43,17 @@ object Decontamination {
   def gramRows(tokens: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n-gram decontamination needs n >= 1, got n=$n")
     val f = udf { (ts: Array[Int]) => gramStrings(ts, n) }
+    // explode_outer + not-null instead of where(size >= n) + explode
+    // (optimization r07): the where and the optimizer's generate-filter
+    // inference each re-evaluated the tokenization (and the inference the
+    // gram UDF too) — three tokenize + two kernel runs per document for
+    // one logical pass. gramStrings already returns an empty array below
+    // n tokens, so the size guard was semantically redundant; the outer
+    // explode turns empty/null into one null-gram row the cheap column
+    // filter drops.
     tokens
-      .where(size(col("tokens")) >= n)
-      .select(col("doc_id"), col("source"), explode(f(col("tokens"))).as("gram"))
+      .select(col("doc_id"), col("source"), explode_outer(f(col("tokens"))).as("gram"))
+      .where(col("gram").isNotNull)
   }
 
   /** Pure-expression twin of [[gramRows]], value-identical per doc
