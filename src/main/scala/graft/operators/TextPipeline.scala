@@ -419,9 +419,15 @@ object TextPipeline {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct()).persist()
+    // initialization FUSED with the first propagation round (optimization
+    // r07): label(0) = min(id, min neighbour id) computed in the same
+    // aggregation that enumerates the nodes — for the dominant near-dup
+    // shape (pair/star components labeled by their minimum) this IS the
+    // fixpoint, so the loop's first round verifies convergence instead of
+    // discovering it, saving one full join round
     var labels = truncated(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))).persist()
+      edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
+        .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))).persist()
     try {
       var iter = 0
       var done = labels.isEmpty
