@@ -308,7 +308,19 @@ object TextPipeline {
         MinHash.shingleHashes64(K0, K1, words, shingleN)
       }
     }
-    val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+    // Prune docs to the ids that actually appear in a candidate pair
+    // BEFORE running the shingle kernel (optimization r07, guide §2.3):
+    // the two verification joins each evaluated the kernel over the WHOLE
+    // corpus and shuffled the full shingle-array frame, when only
+    // candidate members (bounded by 2x the candidate count, which banded
+    // LSH keeps small by design) are ever matched. The id set is
+    // candidate-sized, so it broadcasts; the join results are identical —
+    // non-candidate rows never matched anything.
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("cand_id")).distinct()
+    val sets = docs
+      .join(broadcast(candIds), col(idCol) === col("cand_id"), "left_semi")
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
     candidates
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
