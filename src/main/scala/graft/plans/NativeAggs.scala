@@ -99,8 +99,20 @@ case class BloomTokensNative(
     copy(child = newChild)
 }
 
-/** Mutable fused buffer (bloom words + hll registers + cms counters). */
-final class FusedNativeBuf(val bloom: Array[Long], val hll: Array[Byte], val cms: Array[Long], val scratch: Array[Long])
+/** Mutable fused buffer (bloom words + hll registers + cms counters).
+  * The h64/hi/lo arrays are per-row hash-gather scratch for the
+  * structure-at-a-time update loop (transient by construction: deserialize
+  * recreates them empty; update grows them to the largest row seen). */
+final class FusedNativeBuf(val bloom: Array[Long], val hll: Array[Byte], val cms: Array[Long], val scratch: Array[Long]) {
+  var h64: Array[Long] = Array.emptyLongArray
+  var hi: Array[Long] = Array.emptyLongArray
+  var lo: Array[Long] = Array.emptyLongArray
+  def ensureGather(n: Int): Unit =
+    if (h64.length < n) {
+      val cap = math.max(n, math.max(64, h64.length * 2))
+      h64 = new Array[Long](cap); hi = new Array[Long](cap); lo = new Array[Long](cap)
+    }
+}
 
 /** `graft_fused_tokens_native(tokens)` -> struct(bloom, hll, cms) binaries.
   * One ArrayData read + two hashes per token; the flagship build kernel. */
@@ -132,18 +144,45 @@ case class FusedTokensNative(
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
+      // STRUCTURE-AT-A-TIME passes (optimization r07): hashes are gathered
+      // once per row, then each sketch is updated in its own tight loop —
+      // the interleaved per-token form touched ~8 random locations across
+      // a bloom+HLL+CMS working set of ~200 KB per group every token; the
+      // split loops keep one structure (and for CMS one 16 KB depth row)
+      // hot at a time. Every per-token operation is commutative (bloom OR,
+      // HLL max, CMS add), so the reordering is byte-identical — asserted
+      // by the existing native≡udaf identity tests.
+      buf.ensureGather(n)
+      var cnt = 0
       var i = 0
       while (i < n) {
         if (!a.isNullAt(i)) {
           val t = a.getInt(i)
-          val h64 = SipHash.hashInt(k0, k1, t)
-          BlockedBloom.insertHash64(buf.bloom, bloomCfg, h64)
-          Hll.addHash(buf.hll, hllP, h64)
+          buf.h64(cnt) = SipHash.hashInt(k0, k1, t)
           SipHash.hash128IntInto(k0, k1, t, buf.scratch)
-          CountMin.addHash(buf.cms, cmsCfg, buf.scratch(1), buf.scratch(0) | 1L)
+          buf.hi(cnt) = buf.scratch(0)
+          buf.lo(cnt) = buf.scratch(1)
+          cnt += 1
         }
         i += 1
       }
+      i = 0
+      while (i < cnt) { BlockedBloom.insertHash64(buf.bloom, bloomCfg, buf.h64(i)); i += 1 }
+      i = 0
+      while (i < cnt) { Hll.addHash(buf.hll, hllP, buf.h64(i)); i += 1 }
+      val width = cmsCfg.width
+      val mask = cmsCfg.widthMask
+      var j = 0
+      while (j < cmsCfg.depth) {
+        val rowOff = j * width
+        i = 0
+        while (i < cnt) {
+          buf.cms(rowOff + ((buf.lo(i) + j * (buf.hi(i) | 1L)) & mask).toInt) += 1L
+          i += 1
+        }
+        j += 1
+      }
+      buf.cms(cmsCfg.depth * width) += cnt.toLong
     }
     buf
   }
