@@ -439,9 +439,17 @@ object PipelineQueries {
     // brute-force twin for the equality gate ONLY (quadratic by
     // construction; the operator is the srpNearDups line above) — the
     // augmented fixture is small, broadcast nested-loop is fine here
+    // cosine predicate INSIDE the join condition (optimization r07): the
+    // broadcast nested-loop join otherwise materializes every surviving
+    // a.id < b.id pair (both 256 B embedding arrays copied into a joined
+    // row — ~1.5 GB of row churn at this fixture) before the filter drops
+    // ~all of them; in-condition evaluation touches the build/stream rows
+    // in place and only true near-dup pairs materialize. Same inner-join
+    // semantics, identical pairs.
     val e = aug.select(col("vec_id").as("id"), col("embedding").as("emb"))
-    val exact = e.as("a").join(broadcast(e.as("b")), col("a.id") < col("b.id"))
-      .where(Similarity.cosineCols(col("a.emb"), col("b.emb")) >= threshold)
+    val exact = e.as("a").join(broadcast(e.as("b")),
+        col("a.id") < col("b.id") &&
+          Similarity.cosineCols(col("a.emb"), col("b.emb")) >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     exact.withColumn("ex", lit(1))
       .join(found.withColumn("ap", lit(1)), Seq("id_a", "id_b"), "full_outer")
