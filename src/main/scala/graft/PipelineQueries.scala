@@ -525,26 +525,56 @@ object PipelineQueries {
     * gate only — the production report is the KMV side, whose sketches
     * are k-entry summaries merged map-side. */
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val grams = overlapGrams(spark, dir).persist()
+    val sources = overlapSources(spark, dir)
+    val masks = overlapMasks(spark, dir, sources).persist()
     try {
-      val result = sourceOverlapFrame(spark, grams)
+      val result = sourceOverlapFrame(spark, masks, sources)
       // materialize the (pairs-sized) matrix before releasing the cache —
       // the dedupClusters convention
       val rows = result.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally grams.unpersist()
+    } finally masks.unpersist()
   }
 
   /** The distributed inner frame of [[sourceOverlapMatrix]] WITHOUT the
     * persist/collect materialization — shared so the PlanDump tool captures
     * the real plan (the public query returns a LocalRelation). */
-  private[graft] def sourceOverlapMatrixLazy(spark: SparkSession, dir: String): DataFrame =
-    sourceOverlapFrame(spark, overlapGrams(spark, dir))
+  private[graft] def sourceOverlapMatrixLazy(spark: SparkSession, dir: String): DataFrame = {
+    val sources = overlapSources(spark, dir)
+    sourceOverlapFrame(spark, overlapMasks(spark, dir, sources), sources)
+  }
 
-  private def overlapGrams(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Decontamination
+  /** Sorted source universe, from a column-pruned scan of the tokens table
+    * (no gram kernel). May be a superset of the sources that actually own
+    * grams: a gram-less source sets no mask bit, so it falls out of the
+    * per-source aggregate below exactly as it fell out of the old
+    * distinct-grams frame — the emitted pair matrix is identical. */
+  private def overlapSources(spark: SparkSession, dir: String): Array[String] =
+    graft.sources.Tokens.table(spark, dir).select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+
+  /** Per-gram source-set bitmask aggregation over the RAW per-doc gram
+    * rows. OPTIMIZATION r07 (guide §2.4): the old shape distinct-ed
+    * (source, gram) first — a full shuffle of the gram universe — and then
+    * shuffled the survivors AGAIN for this groupBy. `bit_or` is
+    * duplicate-insensitive, so the distinct bought nothing the map-side
+    * partial aggregation here doesn't already do; the gram universe now
+    * crosses the wire once, 2 full-universe exchanges -> 1. */
+  private def overlapMasks(spark: SparkSession, dir: String,
+      sources: Array[String]): DataFrame = {
+    val raw = graft.operators.Decontamination
       .gramRows(graft.sources.Tokens.table(spark, dir), 4)
-      .select(col("source"), col("gram")).distinct()
+      .select(col("source"), col("gram"))
+    val nWords = math.max(1, (sources.length + 63) / 64)
+    val idxOf = map(sources.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    val maskCols = (0 until nWords).map { w =>
+      expr(s"bit_or(CASE WHEN idx DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST(idx % 64 AS INT)) ELSE CAST(0 AS BIGINT) END)").as(s"m$w")
+    }
+    raw.withColumn("idx", element_at(idxOf, col("source")))
+      .groupBy(col("gram")).agg(maskCols.head, maskCols.tail: _*)
+  }
 
   /** Packed (bit index a, bit index b) pairs of every two set bits across
     * the mask words — the per-gram "which source pairs share this gram"
@@ -579,7 +609,31 @@ object PipelineQueries {
     }
   }
 
-  private def sourceOverlapFrame(spark: SparkSession, grams: DataFrame): DataFrame = {
+  /** Set-bit indices of a multi-word mask (bit index = word*64 + bit) —
+    * the per-gram "which sources own this gram" stream feeding the
+    * per-source size/KMV aggregate. */
+  private final class MaskBitsUdf extends (Array[Long] => Array[Int]) with Serializable {
+    override def apply(words: Array[Long]): Array[Int] = {
+      var total = 0
+      var wi = 0
+      while (wi < words.length) { total += java.lang.Long.bitCount(words(wi)); wi += 1 }
+      val idx = new Array[Int](total)
+      var o = 0
+      wi = 0
+      while (wi < words.length) {
+        var m = words(wi)
+        while (m != 0L) {
+          idx(o) = wi * 64 + java.lang.Long.numberOfTrailingZeros(m); o += 1
+          m &= m - 1
+        }
+        wi += 1
+      }
+      idx
+    }
+  }
+
+  private def sourceOverlapFrame(spark: SparkSession, masks: DataFrame,
+      sources: Array[String]): DataFrame = {
     import graft.operators.SketchAggs
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     graft.plans.GraftFunctions.registerExpressions(spark)
@@ -588,48 +642,48 @@ object PipelineQueries {
     // used to come from a gram self-join — every gram shared by s sources
     // exploded into C(s,2) JOIN OUTPUT rows keyed by the gram STRING, i.e.
     // a second full shuffle of the gram universe times the pair fan-out.
-    // Instead, aggregate each gram's SOURCE-SET BITMASK (sources are
-    // enumerable per run; bit index = rank in the sorted source list, >64
-    // sources roll into extra mask words), then explode each mask's set-bit
-    // pairs straight into a partial-aggregated count keyed by the packed
-    // pair id: the pair fan-out still happens, but map-side, collapsing to
-    // <= C(#sources,2) rows per partition before the (tiny) final shuffle.
-    // The gram string is shuffled ONCE (the mask groupBy) instead of twice,
-    // and no join runs at all: 34 Exchanges -> 8, self-join -> none.
-    val sources = grams.select(col("source")).distinct()
-      .collect().map(_.getString(0)).sorted
+    // Instead, each gram's SOURCE-SET BITMASK (see overlapMasks) explodes
+    // its set-bit pairs straight into a partial-aggregated count keyed by
+    // the packed pair id: the pair fan-out still happens, but map-side,
+    // collapsing to <= C(#sources,2) rows per partition before the (tiny)
+    // final shuffle. No join runs at all; and since bitcount/KMV are both
+    // derivable from the masks, the per-source sizes and sketches ride ONE
+    // combined aggregate off the same cached masks frame instead of four
+    // separate evaluations of the old grams frame (sizes x2 for the
+    // self-join sides, sk x2 for the est_j joins).
     val nWords = math.max(1, (sources.length + 63) / 64)
-    val idxOf = map(sources.zipWithIndex.flatMap { case (s, i) =>
-      Seq(lit(s), lit(i)) }: _*)
-    val idxCol = element_at(idxOf, col("source"))
-    val maskCols = (0 until nWords).map { w =>
-      expr(s"bit_or(CASE WHEN idx DIV 64 = $w THEN shiftleft(CAST(1 AS BIGINT), " +
-        s"CAST(idx % 64 AS INT)) ELSE CAST(0 AS BIGINT) END)").as(s"m$w")
-    }
-    val masks = grams.withColumn("idx", idxCol)
-      .groupBy(col("gram")).agg(maskCols.head, maskCols.tail: _*)
+    val mcols = array((0 until nWords).map(w => col(s"m$w")): _*)
     val pairsUdf = udf(new MaskPairsUdf)
     val pairCounts = masks
-      .select(explode(pairsUdf(array((0 until nWords).map(w => col(s"m$w")): _*))).as("pk"))
+      .select(explode(pairsUdf(mcols)).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("inter_exact"))
       .select(
         element_at(lit(sources), (col("pk") / 65536).cast("int") + 1).as("src_a"),
         element_at(lit(sources), pmod(col("pk"), lit(65536L)).cast("int") + 1).as("src_b"),
         col("inter_exact"))
-    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // per-source distinct-gram count AND KMV sketch in one aggregate: a
+    // source's grams are exactly the masks rows with its bit set, each
+    // exactly once (masks rows are distinct grams) — the same multiset the
+    // old distinct (source, gram) frame fed, so count and sketch bytes are
+    // identical. Gram-less sources never appear, as before.
+    val bitsUdf = udf(new MaskBitsUdf)
     val kmvU = udaf(new SketchAggs.KmvStringAgg(
       graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1, k), ExpressionEncoder[String]())
-    val sk = grams.groupBy(col("source")).agg(kmvU(col("gram")).as("sk"))
-    val pairs = sizes.as("sa")
-      .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+    val perSource = masks
+      .select(explode(bitsUdf(mcols)).as("idx"), col("gram"))
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("n"), kmvU(col("gram")).as("sk"))
+      .select(element_at(lit(sources), col("idx") + 1).as("source"),
+        col("n"), col("sk"))
+    val pairs = perSource.as("sa")
+      .join(broadcast(perSource.as("sb")), col("sa.source") < col("sb.source"))
       .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"),
-        col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        col("sa.sk").as("sk_a"), col("sb.sk").as("sk_b"))
       .join(pairCounts, Seq("src_a", "src_b"), "left")
       .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
       .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
     val withEst = pairs
-      .join(broadcast(sk.select(col("source").as("src_a"), col("sk").as("sk_a"))), Seq("src_a"))
-      .join(broadcast(sk.select(col("source").as("src_b"), col("sk").as("sk_b"))), Seq("src_b"))
       .withColumn("est_j",
         graft.plans.SketchReaders.kmvJaccard(col("sk_a"), col("sk_b")))
       .withColumn("exact_j", col("inter_exact").cast("double") / col("union_exact"))
