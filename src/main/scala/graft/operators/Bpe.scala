@@ -90,6 +90,114 @@ object Bpe {
     java.util.Arrays.copyOf(syms, n)
   }
 
+  /** Compiled merge table — the OPTIMIZATION r07 (guide §1.2 per-task
+    * work) twin of the string kernel above, used by [[withBpeTokens]]:
+    * symbols become canonical int ids (a single UTF-16 unit -> its char
+    * code, 0..65535; a merge product -> 65536 + the FIRST rank producing
+    * that string, so duplicate product strings share one id exactly as
+    * string equality makes them one symbol), and pair ranks live in an
+    * open-addressed long->int table keyed `leftId << 32 | rightId`. The
+    * hot loop then does two array reads per adjacency instead of a String
+    * concat + UTF-16 hash + boxed HashMap probe — the string kernel
+    * allocated one pair-key String per adjacency per merge round.
+    * Duplicate (left, right) pairs keep `HashMap.put` semantics (last
+    * rank wins). Greedy semantics are value-identical to [[encodeWord]]
+    * for any table whose symbols contain no space (the string kernel's
+    * `a + " " + b` key is ambiguous there; id keys are not) — asserted by
+    * PipelineSpec across the fixture, random words, and random valid
+    * tables including self-pairs and duplicate products. */
+  private[graft] final class CompiledMerges(merges: Seq[(String, String)]) extends Serializable {
+    private val products: Array[String] = merges.map { case (a, b) => a + b }.toArray
+    private val canonOf: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](products.length * 2)
+      var r = 0
+      while (r < products.length) {
+        if (!m.containsKey(products(r))) m.put(products(r), Integer.valueOf(65536 + r))
+        r += 1
+      }
+      m
+    }
+    /** canonical id of the symbol the rank-r merge produces */
+    private val resultIds: Array[Int] =
+      Array.tabulate(products.length)(r => canonOf.get(products(r)).intValue())
+    private def symId(s: String): Int =
+      if (s.length == 1) s.charAt(0).toInt
+      else {
+        val v = canonOf.get(s)
+        require(v != null,
+          s"BPE merge constituent '$s' is neither a single char nor a merge product")
+        v.intValue()
+      }
+    // open-addressed long->int table; ids are < 2^17 so every key is
+    // non-negative and -1 marks an empty slot. Capacity 4x entries keeps
+    // the load factor <= 0.25; linear probing.
+    private val cap: Int = {
+      var c = 4
+      while (c < merges.size * 4) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val keys = Array.fill[Long](cap)(-1L)
+    private val vals = new Array[Int](cap)
+    private def idx(k: Long): Int = (((k * 0x9E3779B97F4A7C15L) >>> 40) ^ k).toInt & mask
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      val k = symId(a).toLong << 32 | symId(b).toLong
+      var i = idx(k)
+      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = r
+    }
+    /** rank of the (leftId, rightId) pair, Int.MaxValue when unlearned */
+    private def rankOf(left: Int, right: Int): Int = {
+      val k = left.toLong << 32 | right.toLong
+      var i = idx(k)
+      while (true) {
+        if (keys(i) == k) return vals(i)
+        if (keys(i) == -1L) return Int.MaxValue
+        i = (i + 1) & mask
+      }
+      Int.MaxValue
+    }
+    private val asciiSyms: Array[String] = Array.tabulate(128)(c => String.valueOf(c.toChar))
+    private def symString(id: Int): String =
+      if (id >= 65536) products(id - 65536)
+      else if (id < 128) asciiSyms(id)
+      else String.valueOf(id.toChar)
+    /** Greedy-encode one pre-token, appending the final symbol strings to
+      * `out`. Identical merge rule to [[encodeWord]]: repeatedly merge all
+      * occurrences (leftmost-first, non-overlapping) of the lowest-ranked
+      * pair present. The merge pass rewrites the id array IN PLACE (writes
+      * land strictly below the read cursor). */
+    private[graft] def encodeInto(word: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      val len = word.length
+      if (len == 0) return
+      val ids = new Array[Int](len)
+      var i = 0
+      while (i < len) { ids(i) = word.charAt(i).toInt; i += 1 }
+      var n = len
+      while (n > 1) {
+        var best = Int.MaxValue
+        var bi = 0
+        while (bi < n - 1) {
+          val r = rankOf(ids(bi), ids(bi + 1))
+          if (r < best) best = r
+          bi += 1
+        }
+        if (best == Int.MaxValue) { var e = 0; while (e < n) { out += symString(ids(e)); e += 1 }; return }
+        val res = resultIds(best)
+        var o = 0
+        var j = 0
+        while (j < n) {
+          if (j < n - 1 && rankOf(ids(j), ids(j + 1)) == best) { ids(o) = res; j += 2 }
+          else { ids(o) = ids(j); j += 1 }
+          o += 1
+        }
+        n = o
+      }
+      var e = 0
+      while (e < n) { out += symString(ids(e)); e += 1 }
+    }
+  }
+
   /** Boxed Integer values, NOT Int: `HashMap[String, Int].get` on a missing
     * key would auto-unbox null to 0 — a VALID rank — silently merging
     * unlearned pairs. Self-pairs (left == right) are rejected here because
@@ -124,14 +232,15 @@ object Bpe {
     * encoder boundary is the small share — see BASELINE.md). */
   def withBpeTokens(docs: DataFrame, textCol: String = "text",
       merges: Seq[(String, String)] = FixtureMerges): DataFrame = {
-    val ranks = rankMap(merges)
+    rankMap(merges) // constructive table validation (the compiled twin assumes it)
+    val compiled = new CompiledMerges(merges)
     val pattern = java.util.regex.Pattern.compile(TextPipeline.BpeIshPattern)
     val f = udf { (text: String) =>
       if (text == null) Array.empty[String]
       else {
         val out = new scala.collection.mutable.ArrayBuffer[String]()
         val m = pattern.matcher(text)
-        while (m.find()) out ++= encodeWord(m.group(), ranks)
+        while (m.find()) compiled.encodeInto(m.group(), out)
         out.toArray
       }
     }

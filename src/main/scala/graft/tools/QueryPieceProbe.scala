@@ -14,7 +14,41 @@ object QueryPieceProbe {
     a
   }
 
+  /** Pure-JVM A/B of the BPE string kernel vs the compiled id kernel
+    * (no Spark): same word stream, same merge table, ns/word. */
+  private def bpeKernelAB(): Unit = {
+    import graft.operators.Bpe
+    val ranks = new java.util.HashMap[String, Integer]()
+    Bpe.FixtureMerges.zipWithIndex.foreach { case ((a, b), r) =>
+      ranks.put(a + " " + b, Integer.valueOf(r)) }
+    val compiled = new Bpe.CompiledMerges(Bpe.FixtureMerges)
+    val rnd = new scala.util.Random(41)
+    val chars = "theinandorst"
+    val words = Array.fill(200000)(
+      (0 until 3 + rnd.nextInt(10)).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    var sink = 0L
+    def lapString(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < words.length) { sink += Bpe.encodeWord(words(i), ranks).length; i += 1 }
+      (System.nanoTime() - t0) / 1e3 / words.length
+    }
+    def lapCompiled(): Double = {
+      val buf = new scala.collection.mutable.ArrayBuffer[String]()
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < words.length) { buf.clear(); compiled.encodeInto(words(i), buf); sink += buf.length; i += 1 }
+      (System.nanoTime() - t0) / 1e3 / words.length
+    }
+    // warm both, then 3 alternating laps each
+    lapString(); lapCompiled(); lapString(); lapCompiled()
+    val s = (0 until 3).map(_ => lapString())
+    val c = (0 until 3).map(_ => lapCompiled())
+    println(f"[qprobe] bpe kernel us/word: string=${s.min}%.3f compiled=${c.min}%.3f (sink=$sink)")
+  }
+
   def main(args: Array[String]): Unit = {
+    bpeKernelAB()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
@@ -68,6 +102,19 @@ object QueryPieceProbe {
 
     time("dedup_clusters: full query")(graft.PipelineQueries.dedupClusters(spark, dir).count())
     time("sketchjob: full query")(graft.SketchQueries.sketchJobResumeProbeExact(spark, dir).count())
+
+    // ---- text->sequences pieces (noop-sink isolation, guide §1.4) ----
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    noop(docsT)
+    time("t2s: doc scan only")(noop(docsT))
+    val bpe = graft.operators.Bpe.withBpeTokens(docsT)
+    noop(bpe)
+    time("t2s: bpe kernel")(noop(bpe))
+    time("t2s: bpe kernel again")(noop(bpe))
+    time("t2s: full query")(graft.PipelineQueries.textToSequences(spark, dir).count())
     spark.stop()
   }
 }

@@ -969,12 +969,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // randomized words over the merge alphabet: greedy == BOTH replays
     val rnd = new scala.util.Random(17)
     val chars = "theinandorst"
+    val compiled = new Bpe.CompiledMerges(Bpe.FixtureMerges)
+    def compiledEncode(w: String): Seq[String] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[String]()
+      compiled.encodeInto(w, buf); buf.toSeq
+    }
     (0 until 500).foreach { _ =>
       val word = (0 until 1 + rnd.nextInt(14)).map(_ => chars(rnd.nextInt(chars.length))).mkString
       assert(Bpe.encodeWord(word, ranks).toSeq === sequential(word),
         s"greedy != sequential on '$word'")
       assert(Bpe.encodeWord(word, ranks).toSeq === stringReplay(word),
         s"greedy != string replay on '$word'")
+      assert(compiledEncode(word) === Bpe.encodeWord(word, ranks).toSeq,
+        s"compiled id kernel != string kernel on '$word'")
     }
     // DataFrame surface: pre-tokens encode independently and concatenate
     import spark.implicits._
@@ -1024,11 +1031,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         syms
       }
+      // the compiled id kernel must track the string kernel on these
+      // tables too — they include self-pairs AND duplicate product
+      // strings (e.g. a+bc and ab+c both producing "abc"), the cases the
+      // canonical-id scheme must collapse exactly as string equality does
+      val compiled = new Bpe.CompiledMerges(uniq)
       (0 until 25).foreach { _ =>
         val word = (0 until 1 + rnd.nextInt(16))
           .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
         assert(Bpe.encodeWord(word, ranks).toSeq === sequential(word),
           s"trial $trial: greedy != sequential on '$word' with merges $uniq")
+        val buf = new scala.collection.mutable.ArrayBuffer[String]()
+        compiled.encodeInto(word, buf)
+        assert(buf.toSeq === Bpe.encodeWord(word, ranks).toSeq,
+          s"trial $trial: compiled != string kernel on '$word' with merges $uniq")
       }
     }
   }
