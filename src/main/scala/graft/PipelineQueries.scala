@@ -527,13 +527,21 @@ object PipelineQueries {
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
     val sources = overlapSources(spark, dir)
     val masks = overlapMasks(spark, dir, sources).persist()
+    // perSource (one row per source, k-entry sketches) is persisted too:
+    // it feeds BOTH sides of the pair self-join, and the static plan holds
+    // two copies of its aggregate — the cache pins the map-side KMV build
+    // to one evaluation instead of trusting AQE stage reuse
+    val perSource = perSourceAgg(masks, sources).persist()
     try {
-      val result = sourceOverlapFrame(spark, masks, sources)
+      val result = sourceOverlapFrame(spark, masks, perSource, sources)
       // materialize the (pairs-sized) matrix before releasing the cache —
       // the dedupClusters convention
       val rows = result.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally masks.unpersist()
+    } finally {
+      perSource.unpersist()
+      masks.unpersist()
+    }
   }
 
   /** The distributed inner frame of [[sourceOverlapMatrix]] WITHOUT the
@@ -541,7 +549,8 @@ object PipelineQueries {
     * the real plan (the public query returns a LocalRelation). */
   private[graft] def sourceOverlapMatrixLazy(spark: SparkSession, dir: String): DataFrame = {
     val sources = overlapSources(spark, dir)
-    sourceOverlapFrame(spark, overlapMasks(spark, dir, sources), sources)
+    val masks = overlapMasks(spark, dir, sources)
+    sourceOverlapFrame(spark, masks, perSourceAgg(masks, sources), sources)
   }
 
   /** Sorted source universe, from a column-pruned scan of the tokens table
@@ -632,10 +641,30 @@ object PipelineQueries {
     }
   }
 
-  private def sourceOverlapFrame(spark: SparkSession, masks: DataFrame,
-      sources: Array[String]): DataFrame = {
+  /** Per-source distinct-gram count AND KMV sketch in one aggregate: a
+    * source's grams are exactly the masks rows with its bit set, each
+    * exactly once (masks rows are distinct grams) — the same multiset the
+    * old distinct (source, gram) frame fed, so count and sketch bytes are
+    * identical. Gram-less sources never appear, as before. */
+  private def perSourceAgg(masks: DataFrame, sources: Array[String]): DataFrame = {
     import graft.operators.SketchAggs
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val nWords = math.max(1, (sources.length + 63) / 64)
+    val mcols = array((0 until nWords).map(w => col(s"m$w")): _*)
+    val bitsUdf = udf(new MaskBitsUdf)
+    val kmvU = udaf(new SketchAggs.KmvStringAgg(
+      graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1, SketchQueries.kmvK),
+      ExpressionEncoder[String]())
+    masks
+      .select(explode(bitsUdf(mcols)).as("idx"), col("gram"))
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("n"), kmvU(col("gram")).as("sk"))
+      .select(element_at(lit(sources), col("idx") + 1).as("source"),
+        col("n"), col("sk"))
+  }
+
+  private def sourceOverlapFrame(spark: SparkSession, masks: DataFrame,
+      perSource: DataFrame, sources: Array[String]): DataFrame = {
     graft.plans.GraftFunctions.registerExpressions(spark)
     val k = SketchQueries.kmvK
     // OPTIMIZATION r07 (guide §2.4/§3): the pairwise intersection counts
@@ -661,20 +690,6 @@ object PipelineQueries {
         element_at(lit(sources), (col("pk") / 65536).cast("int") + 1).as("src_a"),
         element_at(lit(sources), pmod(col("pk"), lit(65536L)).cast("int") + 1).as("src_b"),
         col("inter_exact"))
-    // per-source distinct-gram count AND KMV sketch in one aggregate: a
-    // source's grams are exactly the masks rows with its bit set, each
-    // exactly once (masks rows are distinct grams) — the same multiset the
-    // old distinct (source, gram) frame fed, so count and sketch bytes are
-    // identical. Gram-less sources never appear, as before.
-    val bitsUdf = udf(new MaskBitsUdf)
-    val kmvU = udaf(new SketchAggs.KmvStringAgg(
-      graft.core.Keys.DefaultK0, graft.core.Keys.DefaultK1, k), ExpressionEncoder[String]())
-    val perSource = masks
-      .select(explode(bitsUdf(mcols)).as("idx"), col("gram"))
-      .groupBy(col("idx"))
-      .agg(count(lit(1)).as("n"), kmvU(col("gram")).as("sk"))
-      .select(element_at(lit(sources), col("idx") + 1).as("source"),
-        col("n"), col("sk"))
     val pairs = perSource.as("sa")
       .join(broadcast(perSource.as("sb")), col("sa.source") < col("sb.source"))
       .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"),
